@@ -1,0 +1,17 @@
+"""lina_speech_tpu — a TPU-native neural-codec TTS framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+theodorblackbird/lina-speech (zero-shot TTS with linear-attention
+"attentive RNN" backbones over neural-codec tokens), designed TPU-first:
+
+- linear-attention (GLA family) token mixers as chunked Pallas scans
+  (MXU-friendly, fp32 state carry, log-space gates);
+- autoregressive decoding as a single jitted ``lax.scan``/``while_loop``
+  carrying an explicit recurrent-state pytree (constant memory);
+- data/tensor parallelism via one ``jax.sharding.Mesh`` + jit shardings;
+- WavTokenizer-style codec (VQ + Vocos/ISTFT vocoder) as fused XLA.
+
+Reference capability map: see SURVEY.md at the repository root.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,135 @@
+"""Core residual blocks: pre-norm mixing block, SwiGLU, rotary self-attention.
+
+TPU-native re-design of reference model/base_blocks.py: modules are flax.linen
+(pure pytrees of params), attention state (KV cache) is explicit function
+input/output rather than module attributes, and everything traces to static
+shapes under jit.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lina_speech_tpu.ops.rotary import apply_rotary
+
+Array = jnp.ndarray
+
+
+def sdpa(
+    q: Array,
+    k: Array,
+    v: Array,
+    mask: Optional[Array] = None,
+    is_causal: bool = False,
+    return_weights: bool = False,
+) -> Tuple[Array, Optional[Array]]:
+    """Softmax attention over (b, h, n, d) tensors; boolean mask True = keep.
+
+    Optionally returns the attention weights (the reference returns them in
+    eval mode for alignment visualization, crossatt.py:203-209).
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) * scale
+    if is_causal:
+        n, m = logits.shape[-2:]
+        causal = jnp.tril(jnp.ones((n, m), dtype=bool), m - n)
+        logits = jnp.where(causal, logits, -jnp.finfo(jnp.float32).max)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.finfo(jnp.float32).max)
+    w = nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", w.astype(v.dtype), v)
+    return out, (w if return_weights else None)
+
+
+class SwiGLU(nn.Module):
+    """SwiGLU MLP with hidden (d*4//3), gate first (base_blocks.py:42-50)."""
+
+    d_model: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        hidden = self.d_model * 4 // 3
+        gx = nn.Dense(hidden * 2, dtype=self.dtype, name="p_in")(x)
+        gate, h = jnp.split(gx, 2, axis=-1)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="p_out")(nn.silu(gate) * h)
+
+
+class SelfAttention(nn.Module):
+    """Rotary multi-head self-attention, no output projection.
+
+    Matches reference base_blocks.py:9-40: fused qkv Dense, rotary over the
+    first half of head channels, optional causal mask, optional external KV
+    cache (kv tuple in, kv tuple out) with ``time_step`` rotary offset.
+    """
+
+    dim: int
+    heads: int
+    rotary: bool = True
+    is_causal: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        mask: Optional[Array] = None,
+        pos: Optional[Array] = None,
+        kv_cache: Optional[Tuple[Array, Array]] = None,
+        time_step: int | Array = 0,
+    ):
+        b, n, _ = x.shape
+        d_head = self.dim // self.heads
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(b, n, self.heads, d_head).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+
+        if kv_cache is not None:
+            k = jnp.concatenate([kv_cache[0], k], axis=2)
+            v = jnp.concatenate([kv_cache[1], v], axis=2)
+        new_cache = (k, v)
+
+        if self.rotary:
+            rot = d_head // 2
+            if pos is not None:
+                q = apply_rotary(q, pos, rot)
+                k = apply_rotary(k, pos, rot)
+            else:
+                q = apply_rotary(q, jnp.arange(n) + time_step, rot)
+                k = apply_rotary(k, jnp.arange(k.shape[2]), rot)
+
+        y, _ = sdpa(q, k, v, mask=mask, is_causal=self.is_causal)
+        y = y.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        if kv_cache is not None:
+            return y, new_cache
+        return y
+
+
+class MixingBlock(nn.Module):
+    """Pre-norm residual block: x += tmix(ln(x)); x += cmix(ln(x)); dropout.
+
+    ``tmix`` may return (y, aux) (e.g. GLA returning state); aux is threaded
+    back to the caller. Reference base_blocks.py:56-69.
+    """
+
+    tmix: nn.Module
+    cmix: nn.Module
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True, **tmix_kwargs):
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        out = self.tmix(h, **tmix_kwargs)
+        aux = None
+        if isinstance(out, tuple):
+            out, aux = out[0], out[1:]
+        x = out + x
+        x = self.cmix(nn.LayerNorm(epsilon=1e-5, name="norm2")(x)) + x
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        if aux is not None:
+            return (x, *aux)
+        return x

@@ -1,0 +1,213 @@
+"""Gated linear attention (GLA) scan ops — pure-XLA implementations.
+
+Recurrence per head (state ``S`` of shape (d_k, d_v), log-gates ``gk`` <= 0):
+
+    S_t = diag(exp(gk_t)) @ S_{t-1} + k_t^T v_t
+    o_t = (scale * q_t) @ S_t
+
+This is the contract of the reference's Triton kernels
+``fused_chunk_gla / chunk_gla / fused_recurrent_gla`` (reference
+model/gla.py:187-201; kernels from flash-linear-attention, not in tree).
+Like those kernels, queries are scaled by ``d_k**-0.5`` by default.
+
+Three implementations:
+
+- :func:`gla_scan_ref` — O(T) ``lax.scan``; the correctness oracle (mirrors
+  fla ``naive_recurrent_gla``) and the building block for decode.
+- :func:`gla_chunk` — chunked-parallel form for training. Two-level
+  chunking: fp32 state carried across chunks of size ``chunk_size`` via a
+  ``lax.scan``; inside a chunk, sub-chunks of 16 combine through
+  *non-positive-exponent* factorizations only (all ``exp`` arguments are
+  <= 0), so it is stable even under hard resets (gate == -20 at packed
+  sequence boundaries). Fully differentiable by autodiff, including w.r.t.
+  ``initial_state`` (required by initial-state tuning,
+  reference initial_state.py:85-160).
+- :func:`gla_decode_step` — one token, fused update+readout, used inside the
+  jitted generation loop.
+
+A Pallas TPU kernel with a custom VJP lives in ``gla_pallas.py``; this module
+is the fallback path (CPU tests, interpret mode) and the numerics reference.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+Array = jnp.ndarray
+
+
+def _default_scale(q: Array, scale: Optional[float]) -> float:
+    return q.shape[-1] ** -0.5 if scale is None else scale
+
+
+def gla_scan_ref(
+    q: Array,
+    k: Array,
+    v: Array,
+    gk: Array,
+    initial_state: Optional[Array] = None,
+    scale: Optional[float] = None,
+) -> Tuple[Array, Array]:
+    """Naive O(T) recurrent GLA via ``lax.scan`` (fp32 state).
+
+    Args:
+        q, k, gk: (b, h, t, d_k); v: (b, h, t, d_v). gk are log-gates (<= 0).
+        initial_state: optional (b, h, d_k, d_v) fp32.
+
+    Returns:
+        o: (b, h, t, d_v) in q's dtype; final_state: (b, h, d_k, d_v) fp32.
+    """
+    scale = _default_scale(q, scale)
+    b, h, t, dk = q.shape
+    dv = v.shape[-1]
+    if initial_state is None:
+        initial_state = jnp.zeros((b, h, dk, dv), dtype=jnp.float32)
+
+    qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, gk))
+
+    def step(S, inp):
+        q_t, k_t, v_t, g_t = inp  # (b, h, dk) / (b, h, dv)
+        S = jnp.exp(g_t)[..., None] * S + k_t[..., None] * v_t[..., None, :]
+        o_t = jnp.einsum("bhk,bhkv->bhv", q_t * scale, S)
+        return S, o_t
+
+    xs = tuple(jnp.moveaxis(x, 2, 0) for x in (qf, kf, vf, gf))
+    final_state, o = jax.lax.scan(step, initial_state, xs)
+    o = jnp.moveaxis(o, 0, 2)
+    return o.astype(q.dtype), final_state
+
+
+def gla_decode_step(
+    q: Array,
+    k: Array,
+    v: Array,
+    gk: Array,
+    state: Array,
+    scale: Optional[float] = None,
+) -> Tuple[Array, Array]:
+    """One AR token: update state and read out (reference fused_recurrent mode).
+
+    Args:
+        q, k, gk: (b, h, d_k); v: (b, h, d_v); state: (b, h, d_k, d_v) fp32.
+
+    Returns:
+        o: (b, h, d_v); new_state: (b, h, d_k, d_v) fp32.
+    """
+    scale = _default_scale(q, scale)
+    qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, gk))
+    state = jnp.exp(gf)[..., None] * state + kf[..., None] * vf[..., None, :]
+    o = jnp.einsum("bhk,bhkv->bhv", qf * scale, state)
+    return o.astype(q.dtype), state
+
+
+def gla_chunk(
+    q: Array,
+    k: Array,
+    v: Array,
+    gk: Array,
+    initial_state: Optional[Array] = None,
+    scale: Optional[float] = None,
+    chunk_size: int = 64,
+    subchunk_size: int = 16,
+) -> Tuple[Array, Array]:
+    """Chunked-parallel GLA (training path), numerically stable, pure XLA.
+
+    Stability invariant: every ``exp`` evaluated here has a non-positive
+    argument. Within-sub-chunk interactions use the direct pairwise decay
+    ``exp(b_t - b_s)`` with ``s <= t`` (<= 0 since gates are negative);
+    cross-sub-chunk and cross-chunk interactions factor through sub-chunk /
+    chunk boundary anchors, each factor again <= 0.
+
+    Shapes as :func:`gla_scan_ref`. ``t`` is padded internally to a multiple
+    of ``chunk_size`` (padding uses k = 0, gk = 0, so outputs and the final
+    state are exact).
+    """
+    scale = _default_scale(q, scale)
+    b, h, t, dk = q.shape
+    dv = v.shape[-1]
+    C, S = chunk_size, subchunk_size
+    assert C % S == 0
+    ns = C // S
+
+    pad = (-t) % C
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        q, k, v, gk = pz(q), pz(k), pz(v), pz(gk)
+    T = t + pad
+    nc = T // C
+
+    if initial_state is None:
+        initial_state = jnp.zeros((b, h, dk, dv), dtype=jnp.float32)
+
+    # (b, h, nc, C, d)
+    qf = (q.astype(jnp.float32) * scale).reshape(b, h, nc, C, dk)
+    kf = k.astype(jnp.float32).reshape(b, h, nc, C, dk)
+    vf = v.astype(jnp.float32).reshape(b, h, nc, C, dv)
+    gf = gk.astype(jnp.float32).reshape(b, h, nc, C, dk)
+
+    # Inclusive log-decay cumsum within each chunk.
+    bc = jnp.cumsum(gf, axis=3)  # (b, h, nc, C, dk)
+    b_total = bc[:, :, :, -1]  # (b, h, nc, dk): total chunk decay
+
+    # ---- inter-chunk recursion (sequential over chunks) ----
+    # k decayed to chunk end: exp(b_total - b_s) <= 1.
+    k_to_end = kf * jnp.exp(b_total[:, :, :, None] - bc)
+    chunk_kv = jnp.einsum("bhcsk,bhcsv->bhckv", k_to_end, vf)
+    q_in = qf * jnp.exp(bc)  # decay from chunk start to t: exp(b_t) <= 1
+
+    def chunk_step(state, inp):
+        q_c, kv_c, dtot_c = inp
+        o_inter = jnp.einsum("bhsk,bhkv->bhsv", q_c, state)
+        state = jnp.exp(dtot_c)[..., None] * state + kv_c
+        return state, o_inter
+
+    xs = (
+        jnp.moveaxis(q_in, 2, 0),
+        jnp.moveaxis(chunk_kv, 2, 0),
+        jnp.moveaxis(b_total, 2, 0),
+    )
+    final_state, o_inter = jax.lax.scan(chunk_step, initial_state, xs)
+    o_inter = jnp.moveaxis(o_inter, 0, 2)  # (b, h, nc, C, dv)
+
+    # ---- intra-chunk: sub-chunk decomposition ----
+    # (b, h, nc, ns, S, d)
+    shp = (b, h, nc, ns, S, dk)
+    qf_s = qf.reshape(shp)
+    kf_s = kf.reshape(shp)
+    vf_s = vf.reshape(b, h, nc, ns, S, dv)
+    bc_s = bc.reshape(shp)
+    # beta[i] = inclusive cumsum at the last position of sub-chunk i
+    beta = bc_s[..., -1, :]  # (b, h, nc, ns, dk)
+    beta_prev = jnp.concatenate(
+        [jnp.zeros_like(beta[..., :1, :]), beta[..., :-1, :]], axis=-2
+    )  # cumsum just before each sub-chunk start
+
+    # Diagonal (within sub-chunk): direct pairwise exp(b_t - b_s), s <= t.
+    # einsum fuses the exp/mul into the d-reduction on TPU (no O(S*S*dk)
+    # materialization in HBM).
+    pair = bc_s[..., :, None, :] - bc_s[..., None, :, :]  # (..., S, S, dk), <= 0 on tril
+    tri = jnp.tril(jnp.ones((S, S), dtype=bool))
+    pair = jnp.where(tri[..., None], pair, -jnp.inf)
+    A_diag = jnp.einsum("bhcitd,bhcisd,bhcitsd->bhcits", qf_s, kf_s, jnp.exp(pair))
+    o_diag = jnp.einsum("bhcits,bhcisv->bhcitv", A_diag, vf_s)
+
+    # Off-diagonal (sub-chunk j < i):
+    #   exp(b_t - b_s) = exp(b_t - beta_prev[i]) * exp(beta_prev[i] - beta[j])
+    #                    * exp(beta[j] - b_s)
+    # all three factors have exponents <= 0 for j < i.
+    q_anch = qf_s * jnp.exp(bc_s - beta_prev[..., None, :])  # (..., ns, S, dk)
+    k_anch = kf_s * jnp.exp(beta[..., None, :] - bc_s)  # anchored at own sub-chunk end
+    cross = beta_prev[..., :, None, :] - beta[..., None, :, :]  # (..., ns_i, ns_j, dk)
+    ij = jnp.tril(jnp.ones((ns, ns), dtype=bool), -1)
+    cross = jnp.where(ij[..., None], cross, -jnp.inf)
+    A_off = jnp.einsum(
+        "bhcitd,bhcijd,bhcjsd->bhcijts", q_anch, jnp.exp(cross), k_anch
+    )
+    o_off = jnp.einsum("bhcijts,bhcjsv->bhcitv", A_off, vf_s)
+
+    o = o_inter + (o_diag + o_off).reshape(b, h, nc, C, dv)
+    o = o.reshape(b, h, T, dv)[:, :, :t]
+    return o.astype(q.dtype), final_state

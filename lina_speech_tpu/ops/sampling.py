@@ -1,0 +1,33 @@
+"""Top-k / temperature sampling under jit with explicit PRNG keys.
+
+Mirrors ``topk_sampling`` (reference model/tools.py:38-44): keep the top-k
+logits, temperature-scale, renormalize and sample. The reference has a quirk
+where the k-th-value threshold is computed on *unscaled* logits but compared
+against temperature-scaled ones; at ``temp == 1`` (the only setting the
+released inference path uses alongside greedy ``k == 1``) both agree. We use
+the standard formulation: threshold and mask on unscaled logits, softmax over
+``logits / temp`` restricted to the kept set.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_sampling(key: jax.Array, logits: jnp.ndarray, k: int = 1, temp: float = 1.0) -> jnp.ndarray:
+    """Sample token ids from the top-k of ``logits``.
+
+    Args:
+        key: PRNG key.
+        logits: (..., vocab) float array.
+        k: number of candidates kept (k=1 == greedy argmax).
+        temp: softmax temperature applied to kept logits.
+
+    Returns:
+        (...,) int32 sampled ids.
+    """
+    if k == 1:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    masked = jnp.where(logits < kth, -jnp.inf, logits / temp)
+    return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
