@@ -1,0 +1,218 @@
+"""Jitted autoregressive generation engine (voice cloning by prompt continuation).
+
+TPU-native rebuild of ``LinaModel.generate_batch`` (reference
+modeling_lina.py:111-192), redesigned around XLA's compilation model:
+
+- the Python ``for t in range(max_seqlen)`` token loop becomes a single
+  ``lax.while_loop`` with fixed-shape token/attention buffers and an
+  all-rows-stopped predicate (same early-exit economics as the reference's
+  ``break``, modeling_lina.py:172-173, but compiled);
+- the speaker prompt is *prefilled chunk-parallel* through the training-path
+  kernel instead of fed token-by-token (the recurrence is identical — the
+  reference teacher-forces prompt embeddings, modeling_lina.py:175-179, so
+  forcing them in parallel gives the same states and the same per-step
+  predictions);
+- sampling uses explicit PRNG keys (top-k + temperature for quantizers
+  below ``first_greedy_quant``, greedy for the rest; modeling_lina.py:159-164);
+- batch parallelism is a leading axis (vmap-free, shardable over a mesh for
+  multi-chip serving).
+
+Outputs keep fixed shapes; :func:`cut_outputs` applies the reference's
+per-row stop-token trimming host-side (modeling_lina.py:181-192).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lina_speech_tpu.models.lina import LinaModel
+from lina_speech_tpu.ops.sampling import topk_sampling
+from lina_speech_tpu.ops.tools import undelay_rvq
+
+Array = jnp.ndarray
+
+
+class GenerateResult(NamedTuple):
+    tokens: Array       # (q, b, max_seqlen) sampled (delayed) codec tokens
+    stop_mask: Array    # (b, max_seqlen) True where an all-stop was emitted
+    lengths: Array      # (b,) 1 + index of first stop (== steps generated)
+    att: Optional[Array]  # (b, max_seqlen, heads, m) cross-attention maps or None
+    n_steps: Array      # () total decode-loop steps actually executed
+
+
+def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
+                   first_greedy_quant: int) -> Array:
+    """logits: (b, q, l) -> (b, q) int32; top-k for q < first_greedy_quant."""
+    b, nq, _ = logits.shape
+    cols = []
+    for i in range(nq):
+        key, sub = jax.random.split(key)
+        if i < first_greedy_quant:
+            cols.append(topk_sampling(sub, logits[:, i], k=k, temp=temp))
+        else:
+            cols.append(topk_sampling(sub, logits[:, i], k=1))
+    return jnp.stack(cols, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "max_seqlen", "k", "first_greedy_quant", "temp",
+        "force_max_seqlen", "return_att",
+    ),
+)
+def generate_batch(
+    model: LinaModel,
+    params,
+    x: Array,
+    key: jax.Array,
+    prompt: Optional[Array] = None,
+    init_state=None,
+    max_seqlen: int = 1000,
+    k: int = 100,
+    first_greedy_quant: int = 1,
+    temp: float = 1.0,
+    force_max_seqlen: bool = False,
+    return_att: bool = False,
+) -> GenerateResult:
+    """Generate codec tokens for a batch.
+
+    Args:
+        x: (b, m) BPE text ids (already repeated to batch).
+        prompt: optional (q, b, p) raw codec codes for voice cloning; offset
+            by ``n_special_token_in`` internally (modeling_lina.py:136).
+        init_state: optional BackboneState (e.g. from initial-state tuning).
+    """
+    b = x.shape[0]
+    nq = model.n_quant
+    stop_id = 2
+
+    x_enc = model.apply(params, x, method=LinaModel.encode_text)
+
+    embed = lambda toks: model.apply(params, toks, method=LinaModel.embed_tokens)
+    y_start = jnp.ones((nq, b, 1), jnp.int32)
+    y_embd0 = embed(y_start)  # (b, 1, d)
+
+    if init_state is None:
+        init_state = model.empty_state(b)
+
+    # ---- chunk-parallel prompt prefill ----
+    if prompt is not None:
+        p_len = prompt.shape[-1]
+        prompt_in = embed(prompt.astype(jnp.int32) + model.n_special_token_in)
+        if model.spk_encoder is not None:
+            spk = model.apply(params, prompt_in, method=lambda m, e: m.spk_encoder(e))
+            prompt_in = prompt_in.at[:, 0].set(spk)
+        forced = jnp.concatenate([y_embd0, prompt_in], axis=1)  # (b, p+1, d)
+    else:
+        p_len = 0
+        forced = y_embd0
+
+    logits_pre, att_pre, state = model.apply(
+        params, forced, x_enc, init_state, return_att=return_att,
+        method=LinaModel.prefill,
+    )  # logits_pre: (b, p+1, q, l)
+
+    # Sample the recorded predictions for steps 0..p_len (vectorized).
+    n_pre = p_len + 1
+    keys_pre = jax.random.split(key, n_pre + 1)
+    key = keys_pre[0]
+    pre_tokens = jax.vmap(
+        lambda kk, lg: _sample_tokens(kk, lg, k, temp, first_greedy_quant),
+        in_axes=(0, 1), out_axes=1,
+    )(keys_pre[1:], logits_pre)  # (b, n_pre, q)
+
+    m = x_enc.shape[1]
+
+    tokens_buf = jnp.zeros((max_seqlen, b, nq), jnp.int32)
+    tokens_buf = jax.lax.dynamic_update_slice_in_dim(
+        tokens_buf, pre_tokens.transpose(1, 0, 2)[:max_seqlen], 0, axis=0
+    )
+    stop_buf = jnp.zeros((max_seqlen, b), bool)
+    pre_stop = jnp.all(pre_tokens == stop_id, axis=-1)  # (b, n_pre)
+    stop_buf = jax.lax.dynamic_update_slice_in_dim(
+        stop_buf, pre_stop.transpose(1, 0)[:max_seqlen], 0, axis=0
+    )
+
+    if return_att:
+        att_dim = att_pre.shape[1]  # heads axis of returned attention
+        att_buf = jnp.zeros((max_seqlen, b, att_dim, m), att_pre.dtype)
+        att_pre_t = att_pre.transpose(2, 0, 1, 3)  # (n_pre, b, heads, m)
+        att_buf = jax.lax.dynamic_update_slice_in_dim(
+            att_buf, att_pre_t[:max_seqlen], 0, axis=0
+        )
+    else:
+        att_buf = None
+
+    stopped = jnp.any(pre_stop, axis=1)  # (b,) rows that already emitted stop
+    # next input: embedding of the last prefill sample (free-running start)
+    y_next = embed(pre_tokens[:, -1].T[:, :, None])[:, 0]  # (b, d)
+
+    class Carry(NamedTuple):
+        t: Array
+        y_embd: Array
+        state: Any
+        tokens: Array
+        stops: Array
+        att: Any
+        stopped: Array
+        key: Array
+
+    def cond(c: Carry):
+        if force_max_seqlen:
+            return c.t < max_seqlen
+        return jnp.logical_and(c.t < max_seqlen, ~jnp.all(c.stopped))
+
+    def body(c: Carry):
+        logits, att, state = model.apply(
+            params, c.y_embd, x_enc, c.state, method=LinaModel.decode_step
+        )
+        key, sub = jax.random.split(c.key)
+        toks = _sample_tokens(sub, logits, k, temp, first_greedy_quant)  # (b, q)
+        tokens = jax.lax.dynamic_update_index_in_dim(c.tokens, toks, c.t, axis=0)
+        is_stop = jnp.all(toks == stop_id, axis=-1)
+        stops = jax.lax.dynamic_update_index_in_dim(c.stops, is_stop, c.t, axis=0)
+        att_b = c.att
+        if return_att:
+            att_b = jax.lax.dynamic_update_index_in_dim(c.att, att, c.t, axis=0)
+        y_embd = embed(toks.T[:, :, None])[:, 0]
+        return Carry(c.t + 1, y_embd, state, tokens, stops, att_b,
+                     c.stopped | is_stop, key)
+
+    init = Carry(jnp.asarray(n_pre), y_next, state, tokens_buf, stop_buf,
+                 att_buf, stopped, key)
+    out = jax.lax.while_loop(cond, body, init)
+
+    tokens = out.tokens.transpose(2, 1, 0)  # (q, b, max_seqlen)
+    stop_mask = out.stops.transpose(1, 0)  # (b, max_seqlen)
+    first_stop = jnp.argmax(stop_mask, axis=1)
+    lengths = jnp.where(jnp.any(stop_mask, axis=1), first_stop + 1, out.t)
+    att = out.att.transpose(1, 0, 2, 3) if return_att else None
+    return GenerateResult(tokens, stop_mask, lengths, att, out.t)
+
+
+def cut_outputs(result: GenerateResult, n_quant: int, n_special_token_in: int = 3):
+    """Host-side per-row trimming (reference modeling_lina.py:181-192).
+
+    Returns a list of (codes (q, 1, len_i), att_i or None) with the delay
+    pattern inverted and special-token offset removed.
+    """
+    qs = np.asarray(result.tokens)
+    rvq = np.asarray(undelay_rvq(jnp.asarray(qs))) - n_special_token_in
+    rvq = np.clip(rvq, 0, None)
+    att = np.asarray(result.att) if result.att is not None else None
+    outs = []
+    for i, L in enumerate(np.asarray(result.lengths)):
+        idx = int(L)
+        end = max(idx - n_quant, 0)
+        outs.append(
+            (
+                rvq[:, [i], :end],
+                att[i, :idx] if att is not None else None,
+            )
+        )
+    return outs

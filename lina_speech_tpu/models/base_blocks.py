@@ -112,24 +112,36 @@ class MixingBlock(nn.Module):
     """Pre-norm residual block: x += tmix(ln(x)); x += cmix(ln(x)); dropout.
 
     ``tmix`` may return (y, aux) (e.g. GLA returning state); aux is threaded
-    back to the caller. Reference base_blocks.py:56-69.
+    back to the caller. ``step`` runs the single-token decode path through a
+    stateful tmix (GLA). Reference base_blocks.py:56-69.
     """
 
     tmix: nn.Module
     cmix: nn.Module
     dropout: float = 0.0
 
-    @nn.compact
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        if self.dropout > 0.0:
+            self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x: Array, deterministic: bool = True, **tmix_kwargs):
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        out = self.tmix(h, **tmix_kwargs)
+        out = self.tmix(self.norm1(x), **tmix_kwargs)
         aux = None
         if isinstance(out, tuple):
             out, aux = out[0], out[1:]
         x = out + x
-        x = self.cmix(nn.LayerNorm(epsilon=1e-5, name="norm2")(x)) + x
+        x = self.cmix(self.norm2(x)) + x
         if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            x = self.drop(x, deterministic=deterministic)
         if aux is not None:
             return (x, *aux)
         return x
+
+    def step(self, x_t: Array, state):
+        """One decode token; tmix must expose ``step(x_t, state)``."""
+        y, state = self.tmix.step(self.norm1(x_t), state)
+        x = y + x_t
+        x = self.cmix(self.norm2(x)) + x
+        return x, state

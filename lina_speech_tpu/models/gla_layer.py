@@ -1,0 +1,298 @@
+"""Gated Linear Attention token-mixer layer (flax.linen).
+
+TPU-native counterpart of the reference layer (model/gla.py:44-247, itself
+adapted from flash-linear-attention): q/k/v/g projections, low-rank log-decay
+gate ``gk = logsigmoid(W2 W1 x + b) / gate_logit_normalizer``, optional
+depthwise causal short-conv on q/k/v, RMSNorm-swish output gate, and the GLA
+recurrence evaluated by the chunked scan (training) or the fused single-token
+step (decode). Recurrent + conv state is an explicit :class:`GLAState` pytree
+carried by the caller — never module state — so decode jits into one
+``lax.scan``/``while_loop``.
+
+Parity notes vs reference:
+- defaults expand_k=1.0, expand_v=2.0, heads=4, gate_low_rank_dim=16,
+  gate_logit_normalizer=16, conv_size=4 (gla.py:46-64);
+- xavier-uniform gain 2**-2.5 init on every Dense kernel (gla.py:122-129);
+- reset_mask fills gk with reset_val=-20 to wipe state at packed-sequence
+  boundaries (gla.py:182-184);
+- queries scaled d_k**-0.5 inside the kernel ops (FLA kernel default).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from lina_speech_tpu.ops.gla import gla_chunk, gla_decode_step, gla_scan_ref
+from lina_speech_tpu.ops.short_conv import causal_depthwise_conv, short_conv_step
+
+Array = jnp.ndarray
+
+# Xavier-uniform with gain 2**-2.5 == variance_scaling(2**-5, fan_avg, uniform)
+_gla_init = nn.initializers.variance_scaling(2.0 ** -5, "fan_avg", "uniform")
+
+
+@flax.struct.dataclass
+class GLAState:
+    """Per-layer decode state: recurrent fp32 matrix + conv ring buffers."""
+
+    s: Array  # (b, h, d_k_head, d_v_head) fp32
+    conv_q: Optional[Array] = None  # (b, key_dim, w)
+    conv_k: Optional[Array] = None  # (b, key_dim, w)
+    conv_v: Optional[Array] = None  # (b, value_dim, w)
+    conv_h: Optional[Array] = None  # (b, hidden, w) when share_conv_kernel
+
+
+def gla_empty_state(
+    batch_size: int,
+    hidden_size: int,
+    num_heads: int,
+    expand_k: float = 1.0,
+    expand_v: float = 2.0,
+    use_short_conv: bool = False,
+    share_conv_kernel: bool = False,
+    conv_size: int = 4,
+    dtype: Any = jnp.float32,
+) -> GLAState:
+    """Zero decode state for one GLA layer (reference gla.py:229-240)."""
+    key_dim = int(hidden_size * expand_k)
+    value_dim = int(hidden_size * expand_v)
+    z = lambda *shape: jnp.zeros(shape, dtype)
+    state = GLAState(
+        s=jnp.zeros(
+            (batch_size, num_heads, key_dim // num_heads, value_dim // num_heads),
+            jnp.float32,
+        )
+    )
+    if use_short_conv:
+        if share_conv_kernel:
+            state = state.replace(conv_h=z(batch_size, hidden_size, conv_size))
+        else:
+            state = state.replace(
+                conv_q=z(batch_size, key_dim, conv_size),
+                conv_k=z(batch_size, key_dim, conv_size),
+                conv_v=z(batch_size, value_dim, conv_size),
+            )
+    return state
+
+
+class ShortConvolution(nn.Module):
+    """Depthwise causal conv width ``size`` + silu (FLA ShortConvolution)."""
+
+    dim: int
+    size: int = 4
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.dim, self.size), jnp.float32
+        )
+        self.bias = (
+            self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+    def __call__(self, x: Array) -> Array:
+        return causal_depthwise_conv(x, self.kernel.astype(self.dtype), self.bias)
+
+    def step(self, x_t: Array, state: Array) -> Tuple[Array, Array]:
+        return short_conv_step(x_t, state, self.kernel.astype(self.dtype), self.bias)
+
+
+class RMSNormSwishGate(nn.Module):
+    """y = RMSNorm(x) * silu(g), per head-channel weight (FLA fused op)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, g: Array) -> Array:
+        w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (normed * w).astype(x.dtype) * nn.silu(g)
+
+
+class GatedLinearAttention(nn.Module):
+    hidden_size: int = 1024
+    expand_k: float = 1.0
+    expand_v: float = 2.0
+    num_heads: int = 4
+    use_short_conv: bool = False
+    conv_size: int = 4
+    share_conv_kernel: bool = False
+    gate_logit_normalizer: int = 16
+    gate_low_rank_dim: int = 16
+    clamp_min: Optional[float] = None
+    layernorm_eps: float = 1e-5
+    chunk_size: int = 64
+    dtype: Any = jnp.float32
+
+    @property
+    def key_dim(self) -> int:
+        return int(self.hidden_size * self.expand_k)
+
+    @property
+    def value_dim(self) -> int:
+        return int(self.hidden_size * self.expand_v)
+
+    @property
+    def head_qk_dim(self) -> int:
+        return self.key_dim // self.num_heads
+
+    @property
+    def head_v_dim(self) -> int:
+        return self.value_dim // self.num_heads
+
+    def setup(self):
+        dense = lambda feat, name, bias=False: nn.Dense(
+            feat, use_bias=bias, kernel_init=_gla_init, dtype=self.dtype, name=name
+        )
+        self.q_proj = dense(self.key_dim, "q_proj")
+        self.k_proj = dense(self.key_dim, "k_proj")
+        self.v_proj = dense(self.value_dim, "v_proj")
+        self.g_proj = dense(self.value_dim, "g_proj")
+        self.gk_proj_1 = dense(self.gate_low_rank_dim, "gk_proj_1")
+        self.gk_proj_2 = dense(self.key_dim, "gk_proj_2", bias=True)
+        self.o_proj = dense(self.hidden_size, "o_proj")
+        self.g_norm_swish_gate = RMSNormSwishGate(self.head_v_dim, self.layernorm_eps)
+        if self.use_short_conv:
+            if self.share_conv_kernel:
+                self.h_conv1d = ShortConvolution(self.hidden_size, self.conv_size, dtype=self.dtype)
+            else:
+                self.q_conv1d = ShortConvolution(self.key_dim, self.conv_size, dtype=self.dtype)
+                self.k_conv1d = ShortConvolution(self.key_dim, self.conv_size, dtype=self.dtype)
+                self.v_conv1d = ShortConvolution(self.value_dim, self.conv_size, dtype=self.dtype)
+
+    # ---------- state ----------
+    def empty_state(self, batch_size: int, dtype: Any = jnp.float32) -> GLAState:
+        """Zero decode state; mirrors reference init_state (gla.py:229-240)."""
+        return gla_empty_state(
+            batch_size, self.hidden_size, self.num_heads, self.expand_k,
+            self.expand_v, self.use_short_conv, self.share_conv_kernel,
+            self.conv_size, dtype,
+        )
+
+    # ---------- shared math ----------
+    def _gates(self, x: Array, reset_mask: Optional[Array], reset_val: float) -> Array:
+        gk = self.gk_proj_2(self.gk_proj_1(x))
+        gk = jax.nn.log_sigmoid(gk.astype(jnp.float32)) / self.gate_logit_normalizer
+        if self.clamp_min is not None:
+            gk = jnp.maximum(gk, self.clamp_min)
+        if reset_mask is not None:
+            # reset_mask broadcasts over the gate feature dim (gla.py:182-184)
+            gk = jnp.where(reset_mask[..., None], reset_val, gk)
+        return gk
+
+    def _split_heads(self, x: Array, head_dim: int) -> Array:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    def _output(self, o_heads: Array, x: Array) -> Array:
+        # o_heads: (b, h, t, dv_head) -> gate + merge + project
+        b, h, t, dv = o_heads.shape
+        o = o_heads.transpose(0, 2, 1, 3)  # (b, t, h, dv)
+        g = self.g_proj(x).reshape(b, t, h, dv)
+        o = self.g_norm_swish_gate(o, g)
+        return self.o_proj(o.reshape(b, t, h * dv))
+
+    # ---------- full-sequence (training / prefill) ----------
+    def __call__(
+        self,
+        x: Array,
+        reset_mask: Optional[Array] = None,
+        initial_state: Optional[GLAState] = None,
+        mode: str = "chunk",
+        reset_val: float = -20.0,
+        output_final_state: bool = False,
+    ):
+        """x: (b, t, d) -> (b, t, d) [, GLAState if output_final_state].
+
+        Conv ring-buffer states are assumed zero at sequence start (causal
+        padding); ``initial_state.s`` seeds the recurrence (init-state
+        tuning, generation prefill).
+        """
+        # In the shared-conv variant the reference rebinds hidden_states to the
+        # conv output before gate/g projections (gla.py:150); mirror that.
+        h = x
+        if self.use_short_conv:
+            if self.share_conv_kernel:
+                h = self.h_conv1d(x)
+                q, k, v = self.q_proj(h), self.k_proj(h), self.v_proj(h)
+            else:
+                q = self.q_conv1d(self.q_proj(x))
+                k = self.k_conv1d(self.k_proj(x))
+                v = self.v_conv1d(self.v_proj(x))
+        else:
+            q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
+
+        gk = self._gates(h, reset_mask, reset_val)
+        qh = self._split_heads(q, self.head_qk_dim)
+        kh = self._split_heads(k, self.head_qk_dim)
+        vh = self._split_heads(v, self.head_v_dim)
+        gh = self._split_heads(gk, self.head_qk_dim)
+
+        s0 = initial_state.s if initial_state is not None else None
+        if mode == "chunk":
+            o, s_final = gla_chunk(qh, kh, vh, gh, initial_state=s0, chunk_size=self.chunk_size)
+        else:
+            o, s_final = gla_scan_ref(qh, kh, vh, gh, initial_state=s0)
+
+        out = self._output(o, h)
+        if output_final_state:
+            state = self.empty_state(x.shape[0], dtype=x.dtype).replace(s=s_final)
+            if self.use_short_conv:
+                w = self.conv_size
+                tail = lambda z: jnp.pad(z, ((0, 0), (max(0, w - z.shape[1]), 0), (0, 0)))[
+                    :, -w:, :
+                ].transpose(0, 2, 1)
+                if self.share_conv_kernel:
+                    state = state.replace(conv_h=tail(x))
+                else:
+                    state = state.replace(
+                        conv_q=tail(self.q_proj(x)),
+                        conv_k=tail(self.k_proj(x)),
+                        conv_v=tail(self.v_proj(x)),
+                    )
+            return out, state
+        return out
+
+    # ---------- single-token decode ----------
+    def step(self, x_t: Array, state: GLAState) -> Tuple[Array, GLAState]:
+        """x_t: (b, d) one token; returns (o_t (b, d), new state)."""
+        b = x_t.shape[0]
+        h_t = x_t
+        if self.use_short_conv and self.share_conv_kernel:
+            h_t, conv_h = self.h_conv1d.step(x_t, state.conv_h)
+            q, k, v = self.q_proj(h_t), self.k_proj(h_t), self.v_proj(h_t)
+            state = state.replace(conv_h=conv_h)
+        elif self.use_short_conv:
+            q, conv_q = self.q_conv1d.step(self.q_proj(x_t), state.conv_q)
+            k, conv_k = self.k_conv1d.step(self.k_proj(x_t), state.conv_k)
+            v, conv_v = self.v_conv1d.step(self.v_proj(x_t), state.conv_v)
+            state = state.replace(conv_q=conv_q, conv_k=conv_k, conv_v=conv_v)
+        else:
+            q, k, v = self.q_proj(x_t), self.k_proj(x_t), self.v_proj(x_t)
+
+        gk = self.gk_proj_2(self.gk_proj_1(h_t))
+        gk = jax.nn.log_sigmoid(gk.astype(jnp.float32)) / self.gate_logit_normalizer
+        if self.clamp_min is not None:
+            gk = jnp.maximum(gk, self.clamp_min)
+
+        hsplit = lambda z, d: z.reshape(b, self.num_heads, d)
+        o, s = gla_decode_step(
+            hsplit(q, self.head_qk_dim),
+            hsplit(k, self.head_qk_dim),
+            hsplit(v, self.head_v_dim),
+            hsplit(gk, self.head_qk_dim),
+            state.s,
+        )
+        state = state.replace(s=s)
+        # one-token output path: (b, h, dv) -> gate/merge/project via seq dim 1
+        out = self._output(o[:, :, None, :], h_t[:, None, :])[:, 0]
+        return out, state

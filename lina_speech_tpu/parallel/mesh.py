@@ -1,0 +1,42 @@
+"""Device mesh construction for data/tensor parallel training and serving.
+
+The reference's only multi-device strategy is DDP over NCCL (Lightning
+``sync_dist=True``, train_lina.py:91; hand-rolled async all-reduce in
+encoder/distrib.py). The TPU-native equivalent is one
+``jax.sharding.Mesh`` with axes:
+
+- ``dp``: data parallel — batch sharded, gradients psum'd by XLA;
+- ``tp``: tensor parallel — FFN hidden, attention heads and the logits
+  vocabulary sharded; collectives ride ICI.
+
+Gradient averaging, metric reduction (the reference's ``average_metrics``)
+and codebook stats sync (encoder/distrib.py:55-109) all become XLA
+collectives inserted automatically by jit sharding propagation.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    dp: int = -1  # -1: all remaining devices
+    tp: int = 1
+
+
+def make_mesh(config: Optional[MeshConfig] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    config = config or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    tp = config.tp
+    dp = config.dp if config.dp != -1 else n // tp
+    if dp * tp != n:
+        raise ValueError(f"mesh {dp}x{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))

@@ -1,0 +1,128 @@
+"""Training harness: optimizer, schedule, sharded train/eval steps.
+
+Replaces the reference's Lightning harness (train_lina.py): AdamW
+(lr 5e-4, wd 0.1, betas (0.9, 0.999)) + HF-style cosine schedule with warmup
+stepped per optimizer step (train_lina.py:105-120), masked CE loss, top-10
+accuracy per quantizer ignoring pad/head tokens (train_lina.py:57-61).
+
+TPU-native: the step is one jitted function over a ("dp", "tp") mesh; DDP's
+NCCL all-reduce becomes XLA's automatic gradient psum from sharding
+propagation; ``sync_dist`` metric averaging is likewise free (metrics are
+computed on globally-sharded arrays).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from lina_speech_tpu.models.accuracy import topk_accuracy
+from lina_speech_tpu.models.lina import LinaModel
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 5e-4
+    weight_decay: float = 0.1
+    betas: Tuple[float, float] = (0.9, 0.999)
+    n_warmup_steps: int = 500
+    n_training_steps: int = 300_000
+    grad_clip: Optional[float] = None
+    accuracy_top_k: int = 10
+
+
+def cosine_schedule_with_warmup(
+    peak_lr: float, warmup_steps: int, total_steps: int
+) -> optax.Schedule:
+    """HF get_cosine_schedule_with_warmup semantics (train_lina.py:117-118)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(warmup_steps, 1)
+        progress = (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1)
+        cos = 0.5 * (1.0 + jnp.cos(math.pi * jnp.clip(progress, 0.0, 1.0)))
+        return peak_lr * jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(model: LinaModel, params, config: TrainConfig) -> TrainState:
+    sched = cosine_schedule_with_warmup(
+        config.learning_rate, config.n_warmup_steps, config.n_training_steps
+    )
+    chain = []
+    if config.grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(config.grad_clip))
+    chain.append(
+        optax.adamw(
+            sched,
+            b1=config.betas[0],
+            b2=config.betas[1],
+            weight_decay=config.weight_decay,
+        )
+    )
+    tx = optax.chain(*chain)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def _loss_and_metrics(model: LinaModel, params, batch: Dict[str, Any],
+                      rngs=None, deterministic: bool = True):
+    logits, loss, _ = model.apply(
+        params,
+        batch["text_token"],
+        batch["audio_token"],
+        batch.get("encoder_mask"),
+        batch.get("crossatt_mask"),
+        logits_mask=batch.get("y_mask"),
+        reset_mask=batch.get("reset_mask"),
+        crossatt_pos=batch.get("crossatt_pos"),
+        deterministic=deterministic,
+        rngs=rngs,
+    )
+    target = batch["audio_token"][:, 1:]
+    y_mask = batch.get("y_mask")
+    mask = y_mask[:, 1:, None] if y_mask is not None else None
+    metrics = {"loss": loss}
+    n_quant = logits.shape[2]
+    for i in range(n_quant):
+        metrics[f"acc_{i}"] = topk_accuracy(
+            logits[:, :, i], target[:, :, i],
+            mask=mask[:, :, 0] if mask is not None else None,
+        )
+    return loss, metrics
+
+
+def make_train_step(model: LinaModel, donate: bool = True) -> Callable:
+    """Build the jitted train step. Shard state/batch before calling; XLA
+    propagates shardings and inserts dp-psum for grads and tp collectives."""
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        rngs = {"dropout": step_rng, "text_mask": jax.random.fold_in(step_rng, 1)}
+
+        def loss_fn(params):
+            return _loss_and_metrics(model, params, batch, rngs=rngs, deterministic=False)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: LinaModel) -> Callable:
+    def eval_step(state: TrainState, batch: Dict[str, Any]):
+        _, metrics = _loss_and_metrics(model, state.params, batch, deterministic=True)
+        return metrics
+
+    return jax.jit(eval_step)

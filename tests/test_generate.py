@@ -1,0 +1,72 @@
+"""Generation engine tests: shapes, stopping, prompt prefill parity, cutting."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lina_speech_tpu.generate import generate_batch, cut_outputs
+from lina_speech_tpu.models import LinaModel
+
+from test_model import make_model, model_and_params
+
+
+def test_generate_shapes_and_stop():
+    model, params, (x, *_rest) = model_and_params()
+    b, m, n_quant = 2, 7, 2
+    res = generate_batch(
+        model, params, x, jax.random.PRNGKey(3), max_seqlen=12, k=5,
+    )
+    assert res.tokens.shape == (n_quant, b, 12)
+    assert res.stop_mask.shape == (b, 12)
+    assert res.lengths.shape == (b,)
+    assert int(res.n_steps) <= 12
+    cuts = cut_outputs(res, n_quant=n_quant)
+    assert len(cuts) == b
+
+
+def test_generate_with_prompt_and_att():
+    model, params, (x, *_rest) = model_and_params()
+    b, m, n_quant, p = 2, 7, 2, 5
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (n_quant, b, p), 0, 50)
+    res = generate_batch(
+        model, params, x, jax.random.PRNGKey(3), prompt=prompt,
+        max_seqlen=16, k=5, return_att=True, force_max_seqlen=True,
+    )
+    assert int(res.n_steps) == 16
+    assert res.att is not None
+    assert res.att.shape == (b, 16, 2, m)  # blind cross-att: 2 passes
+
+
+def test_prompt_prefill_matches_stepwise():
+    """Chunk-parallel prompt prefill must equal feeding the prompt step-by-step
+    (greedy sampling so PRNG plays no role)."""
+    model, params, _ = model_and_params()
+    b, m, n_quant, p = 1, 7, 2, 6
+    x = jax.random.randint(jax.random.PRNGKey(0), (b, m), 3, 256)
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (n_quant, b, p), 0, 50)
+
+    # engine path: prefill + AR, fully greedy
+    res = generate_batch(
+        model, params, x, jax.random.PRNGKey(3), prompt=prompt,
+        max_seqlen=10, first_greedy_quant=0, force_max_seqlen=True,
+    )
+
+    # manual step-by-step teacher forcing of the same prompt
+    x_enc = model.apply(params, x, method=LinaModel.encode_text)
+    embed = lambda t: model.apply(params, t, method=LinaModel.embed_tokens)
+    state = model.empty_state(b)
+    y_embd = embed(jnp.ones((n_quant, b, 1), jnp.int32))[:, 0]
+    toks_seq = []
+    for t in range(10):
+        logits, _, state = model.apply(
+            params, y_embd, x_enc, state, method=LinaModel.decode_step
+        )
+        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (b, q)
+        toks_seq.append(toks)
+        if t < p:
+            nxt = prompt[:, :, t] + model.n_special_token_in  # (q, b)
+        else:
+            nxt = toks.T
+        y_embd = embed(nxt[:, :, None])[:, 0]
+    manual = jnp.stack(toks_seq, axis=2).transpose(1, 0, 2)  # (q, b, t)
+
+    np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(manual))
