@@ -24,7 +24,7 @@ class ISTFTHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        """x: (B, T, dim) -> waveform (B, (T-1)*hop)."""
+        """x: (B, T, dim) -> waveform (B, T*hop)."""
         h = nn.Dense(self.n_fft + 2, dtype=self.dtype, name="out")(x)
         h = h.astype(jnp.float32).transpose(0, 2, 1)  # (B, n_fft+2, T)
         mag, p = jnp.split(h, 2, axis=1)

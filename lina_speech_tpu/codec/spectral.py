@@ -20,8 +20,9 @@ def istft_same(spec: Array, n_fft: int, hop_length: int, win_length: int | None 
         spec: (B, n_fft//2+1, T) complex spectrogram.
         n_fft, hop_length, win_length: STFT params (win_length defaults n_fft).
 
-    Returns: (B, (T-1)*hop) real waveform (padding trimmed), matching the
-    reference's output length (spectral_ops.py:60-75).
+    Returns: (B, T*hop) real waveform (padding trimmed), matching the
+    reference's output length (spectral_ops.py:60-75): (T-1)*hop + win
+    minus (win-hop) of trim == T*hop.
     """
     win_length = win_length or n_fft
     window = jnp.asarray(np.hanning(win_length + 1)[:-1], jnp.float32)

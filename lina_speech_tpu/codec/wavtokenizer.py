@@ -1,0 +1,112 @@
+"""WavTokenizer: neural audio codec API (tokenize + vocode).
+
+TPU rebuild of the reference inference API (decoder/pretrained.py:96-239):
+
+- :meth:`encode` — audio -> SEANet latents -> VQ codes (n_q=1 at inference,
+  feature_extractors.py:130-141);
+- :meth:`codes_to_features` — codes -> summed codebook embeddings
+  (decoder/pretrained.py:209-239);
+- :meth:`decode` — features -> VocosBackbone -> ISTFT head -> waveform
+  (decoder/pretrained.py:192-207).
+
+The whole decode path jits into one program; batch synthesis for the TTS
+engine is a single call on the (B, T) token matrix from ``generate_batch``.
+
+Flagship config = WavTokenizer medium-speech "320_24k": hop 320, 75 Hz,
+1 quantizer, 4096-entry codebook, 24 kHz (reference README.md:31).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lina_speech_tpu.codec.heads import ISTFTHead
+from lina_speech_tpu.codec.seanet import SEANetEncoder
+from lina_speech_tpu.codec.vocos import VocosBackbone
+from lina_speech_tpu.codec.vq import VectorQuantizer, vq_decode, vq_encode
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class WavTokenizerConfig:
+    sample_rate: int = 24000
+    # encoder
+    ratios: Tuple[int, ...] = (8, 5, 4, 2)  # hop = prod = 320 -> 75 Hz
+    n_filters: int = 32
+    latent_dim: int = 512
+    # quantizer
+    n_q: int = 1
+    bins: int = 4096
+    # vocoder
+    backbone_dim: int = 768
+    backbone_intermediate_dim: int = 2304
+    backbone_layers: int = 12
+    n_fft: int = 1280
+    hop_length: int = 320
+
+    @property
+    def hop(self) -> int:
+        out = 1
+        for r in self.ratios:
+            out *= r
+        return out
+
+
+class WavTokenizer(nn.Module):
+    config: WavTokenizerConfig = WavTokenizerConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.config
+        self.encoder = SEANetEncoder(
+            dimension=c.latent_dim, n_filters=c.n_filters, ratios=c.ratios,
+            dtype=self.dtype,
+        )
+        self.codebook = self.param(
+            "codebook",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0),
+            (c.n_q, c.bins, c.latent_dim),
+        )
+        self.backbone = VocosBackbone(
+            input_channels=c.latent_dim, dim=c.backbone_dim,
+            intermediate_dim=c.backbone_intermediate_dim,
+            num_layers=c.backbone_layers, dtype=self.dtype,
+        )
+        self.head = ISTFTHead(c.backbone_dim, c.n_fft, c.hop_length, dtype=self.dtype)
+
+    def _quantizer(self) -> VectorQuantizer:
+        return VectorQuantizer(
+            embed=self.codebook,
+            cluster_size=jnp.zeros(self.codebook.shape[:2]),
+            embed_avg=self.codebook,
+        )
+
+    def encode(self, audio: Array, n_q: Optional[int] = None) -> Tuple[Array, Array]:
+        """audio: (B, T) -> (features (B, T', d), codes (n_q, B, T'))."""
+        latents = self.encoder(audio)
+        codes = vq_encode(latents, self._quantizer(), n_q or self.config.n_q)
+        features = vq_decode(codes, self._quantizer())
+        return features, codes
+
+    def codes_to_features(self, codes: Array) -> Array:
+        """codes (n_q, B, T) -> (B, T, d) summed codebook embeddings."""
+        return vq_decode(codes, self._quantizer())
+
+    def decode(self, features: Array) -> Array:
+        """features (B, T, d) -> waveform (B, T*hop)."""
+        x = self.backbone(features)
+        return self.head(x)
+
+    def codes_to_audio(self, codes: Array) -> Array:
+        """One-shot TTS synthesis: codes (n_q, B, T) -> waveform (B, L)."""
+        return self.decode(self.codes_to_features(codes))
+
+    def __call__(self, audio: Array) -> Array:
+        """Copy-synthesis roundtrip (decoder/pretrained.py:160-175)."""
+        features, _ = self.encode(audio)
+        return self.decode(features)
