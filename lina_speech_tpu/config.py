@@ -110,15 +110,19 @@ def build_model(cfg: ModelConfig):
 
         rnn = AttentiveSimpleGLA(
             d_model=b.d_model, n_layer=b.n_layer, heads=b.heads,
-            dropout_att=b.dropout_att, dropout=b.dropout,
-            chunk_size=b.chunk_size, dtype=dtype,
+            dropout_att=b.dropout_att, dropout=b.dropout, d_blind=b.d_blind,
+            blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
+            use_short_conv=b.use_short_conv, pos_type=b.pos_type,
+            chunk_size=b.chunk_size, remat=b.remat, dtype=dtype,
         )
     elif b.kind == "rwkv6":
         from lina_speech_tpu.models.rwkv6 import AttentiveRWKV6
 
         rnn = AttentiveRWKV6(
             d_model=b.d_model, n_layer=b.n_layer, heads=b.heads,
-            dropout_att=b.dropout_att, dropout=b.dropout, dtype=dtype,
+            dropout_att=b.dropout_att, dropout=b.dropout, d_blind=b.d_blind,
+            blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
+            pos_type=b.pos_type, dtype=dtype,
         )
     elif b.kind == "transformer":
         from lina_speech_tpu.models.transformer import TransformerCrossAtt

@@ -51,7 +51,8 @@ class BackboneState:
 
 
 def _gla_block(d: int, h: int, use_short_conv: bool, expand_k: float, expand_v: float,
-               dropout: float, chunk_size: int, dtype: Any) -> MixingBlock:
+               dropout: float, chunk_size: int, dtype: Any,
+               scalar_gate: bool = False) -> MixingBlock:
     return MixingBlock(
         tmix=GatedLinearAttention(
             hidden_size=d,
@@ -60,6 +61,7 @@ def _gla_block(d: int, h: int, use_short_conv: bool, expand_k: float, expand_v: 
             expand_k=expand_k,
             expand_v=expand_v,
             chunk_size=chunk_size,
+            scalar_gate=scalar_gate,
             dtype=dtype,
         ),
         cmix=SwiGLU(d, dtype=dtype),
@@ -83,12 +85,13 @@ class AttentiveGLA(nn.Module):
     pos_type: str = "sinusoidal"
     chunk_size: int = 64
     remat: bool = False
+    scalar_gate: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         mk = lambda d: _gla_block(
             d, self.heads, self.use_short_conv, self.expand_k, self.expand_v,
-            self.dropout, self.chunk_size, self.dtype,
+            self.dropout, self.chunk_size, self.dtype, self.scalar_gate,
         )
         self.encoder = [mk(self.d_model) for _ in range(self.n_layer)]
         self.decoder = [mk(self.d_model) for _ in range(self.n_layer)]

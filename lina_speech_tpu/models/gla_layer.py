@@ -119,6 +119,10 @@ class RMSNormSwishGate(nn.Module):
 
 
 class GatedLinearAttention(nn.Module):
+    """scalar_gate=True gives the simple-GLA variant (reference
+    model/simple_gla.py via FLA SimpleGatedLinearAttention): one decay per
+    head per step instead of per key-channel, broadcast inside the kernel."""
+
     hidden_size: int = 1024
     expand_k: float = 1.0
     expand_v: float = 2.0
@@ -131,6 +135,7 @@ class GatedLinearAttention(nn.Module):
     clamp_min: Optional[float] = None
     layernorm_eps: float = 1e-5
     chunk_size: int = 64
+    scalar_gate: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -157,8 +162,11 @@ class GatedLinearAttention(nn.Module):
         self.k_proj = dense(self.key_dim, "k_proj")
         self.v_proj = dense(self.value_dim, "v_proj")
         self.g_proj = dense(self.value_dim, "g_proj")
-        self.gk_proj_1 = dense(self.gate_low_rank_dim, "gk_proj_1")
-        self.gk_proj_2 = dense(self.key_dim, "gk_proj_2", bias=True)
+        if self.scalar_gate:
+            self.gk_proj = dense(self.num_heads, "gk_proj", bias=True)
+        else:
+            self.gk_proj_1 = dense(self.gate_low_rank_dim, "gk_proj_1")
+            self.gk_proj_2 = dense(self.key_dim, "gk_proj_2", bias=True)
         self.o_proj = dense(self.hidden_size, "o_proj")
         self.g_norm_swish_gate = RMSNormSwishGate(self.head_v_dim, self.layernorm_eps)
         if self.use_short_conv:
@@ -179,11 +187,22 @@ class GatedLinearAttention(nn.Module):
         )
 
     # ---------- shared math ----------
-    def _gates(self, x: Array, reset_mask: Optional[Array], reset_val: float) -> Array:
-        gk = self.gk_proj_2(self.gk_proj_1(x))
-        gk = jax.nn.log_sigmoid(gk.astype(jnp.float32)) / self.gate_logit_normalizer
+    def _raw_gates(self, x: Array) -> Array:
+        """Log-decay gates; (b, ..., key_dim) or scalar-gate (b, ..., heads)
+        broadcast to key_dim."""
+        if self.scalar_gate:
+            g = self.gk_proj(x)  # (..., h)
+            g = jax.nn.log_sigmoid(g.astype(jnp.float32)) / self.gate_logit_normalizer
+            g = jnp.repeat(g, self.head_qk_dim, axis=-1)  # (..., h*dk) head-major
+        else:
+            g = self.gk_proj_2(self.gk_proj_1(x))
+            g = jax.nn.log_sigmoid(g.astype(jnp.float32)) / self.gate_logit_normalizer
         if self.clamp_min is not None:
-            gk = jnp.maximum(gk, self.clamp_min)
+            g = jnp.maximum(g, self.clamp_min)
+        return g
+
+    def _gates(self, x: Array, reset_mask: Optional[Array], reset_val: float) -> Array:
+        gk = self._raw_gates(x)
         if reset_mask is not None:
             # reset_mask broadcasts over the gate feature dim (gla.py:182-184)
             gk = jnp.where(reset_mask[..., None], reset_val, gk)
@@ -279,10 +298,7 @@ class GatedLinearAttention(nn.Module):
         else:
             q, k, v = self.q_proj(x_t), self.k_proj(x_t), self.v_proj(x_t)
 
-        gk = self.gk_proj_2(self.gk_proj_1(h_t))
-        gk = jax.nn.log_sigmoid(gk.astype(jnp.float32)) / self.gate_logit_normalizer
-        if self.clamp_min is not None:
-            gk = jnp.maximum(gk, self.clamp_min)
+        gk = self._raw_gates(h_t)
 
         hsplit = lambda z, d: z.reshape(b, self.num_heads, d)
         o, s = gla_decode_step(

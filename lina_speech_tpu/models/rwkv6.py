@@ -1,0 +1,304 @@
+"""RWKV-6 (Finch) token mixer + AttentiveRWKV6 backbone.
+
+Rebuild of the reference's RWKV6 variant (model/rwkv6.py:16-73, layer from
+FLA's RWKV6Attention — not in tree; semantics follow the RWKV-v6 "Finch"
+design): data-dependent token-shift interpolation (ddlerp) feeding r/k/v/g
+and a low-rank per-channel decay, bonus ``u`` on the current token, per-head
+GroupNorm output gate. The recurrence runs on the chunked scan in
+ops/rwkv6.py (training) or the fused decode step.
+
+Decode state = recurrent (b, h, d_k, d_v) fp32 + the 1-token shift buffer.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from lina_speech_tpu.models.base_blocks import MixingBlock, SwiGLU
+from lina_speech_tpu.models.crossatt import (
+    BlindCrossAttention,
+    CrossAttention,
+    CrossAttentionPP,
+)
+from lina_speech_tpu.ops.rwkv6 import rwkv6_chunk, rwkv6_decode_step, rwkv6_scan_ref
+
+Array = jnp.ndarray
+
+
+@flax.struct.dataclass
+class RWKV6State:
+    s: Array        # (b, h, dk_head, dv_head) fp32
+    shift: Array    # (b, d) previous token input
+
+
+def rwkv6_empty_state(batch_size: int, hidden_size: int, num_heads: int,
+                      expand_k: float = 1.0, expand_v: float = 1.0,
+                      dtype: Any = jnp.float32) -> RWKV6State:
+    dk = int(hidden_size * expand_k) // num_heads
+    dv = int(hidden_size * expand_v) // num_heads
+    return RWKV6State(
+        s=jnp.zeros((batch_size, num_heads, dk, dv), jnp.float32),
+        shift=jnp.zeros((batch_size, hidden_size), dtype),
+    )
+
+
+class RWKV6Attention(nn.Module):
+    hidden_size: int
+    num_heads: int = 4
+    expand_k: float = 1.0
+    expand_v: float = 1.0
+    proj_low_rank_dim: int = 32
+    decay_low_rank_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @property
+    def key_dim(self) -> int:
+        return int(self.hidden_size * self.expand_k)
+
+    @property
+    def value_dim(self) -> int:
+        return int(self.hidden_size * self.expand_v)
+
+    def setup(self):
+        d = self.hidden_size
+        init_small = nn.initializers.normal(1e-2)
+        self.x_maa = self.param("x_maa", nn.initializers.zeros, (d,), jnp.float32)
+        self.maa = self.param("maa", nn.initializers.zeros, (5, d), jnp.float32)
+        self.maa_w1 = self.param("maa_w1", init_small, (d, 5 * self.proj_low_rank_dim), jnp.float32)
+        self.maa_w2 = self.param("maa_w2", init_small, (5, self.proj_low_rank_dim, d), jnp.float32)
+
+        dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype, name=name)
+        self.r_proj = dense(self.key_dim, "r_proj")
+        self.k_proj = dense(self.key_dim, "k_proj")
+        self.v_proj = dense(self.value_dim, "v_proj")
+        self.g_proj = dense(self.value_dim, "g_proj")
+        self.o_proj = dense(d, "o_proj")
+
+        self.decay_w1 = self.param("decay_w1", init_small, (d, self.decay_low_rank_dim), jnp.float32)
+        self.decay_w2 = self.param("decay_w2", init_small, (self.decay_low_rank_dim, self.key_dim), jnp.float32)
+        # time_decay init ~ -6 so exp(-exp(-6)) ~ slow decay like RWKV init
+        self.time_decay = self.param(
+            "time_decay", lambda k, s: jnp.full(s, -6.0, jnp.float32), (self.key_dim,)
+        )
+        self.time_faaaa = self.param(
+            "time_faaaa", nn.initializers.zeros,
+            (self.num_heads, self.key_dim // self.num_heads),
+        )
+        self.ln_x_scale = self.param(
+            "ln_x_scale", nn.initializers.ones, (self.value_dim,), jnp.float32
+        )
+        self.ln_x_bias = self.param(
+            "ln_x_bias", nn.initializers.zeros, (self.value_dim,), jnp.float32
+        )
+
+    # ---- pieces ----
+    def _ddlerp(self, x: Array, sx: Array):
+        """Data-dependent lerp -> (xw, xk, xv, xr, xg)."""
+        xxx = x + sx * self.x_maa
+        z = jnp.tanh(xxx @ self.maa_w1)  # (..., 5*plr)
+        z = z.reshape(*z.shape[:-1], 5, self.proj_low_rank_dim)
+        deltas = jnp.einsum("...fp,fpd->...fd", z, self.maa_w2)  # (..., 5, d)
+        mix = self.maa[(None,) * (x.ndim - 1)] + deltas  # broadcast (5, d)
+        outs = [x + sx * mix[..., i, :] for i in range(5)]
+        return outs  # order: w, k, v, r, g
+
+    def _wrkvg(self, x: Array, sx: Array):
+        xw, xk, xv, xr, xg = self._ddlerp(x, sx)
+        r = self.r_proj(xr)
+        k = self.k_proj(xk)
+        v = self.v_proj(xv)
+        g = nn.silu(self.g_proj(xg))
+        w_logit = self.time_decay + jnp.tanh(xw.astype(jnp.float32) @ self.decay_w1) @ self.decay_w2
+        lw = -jnp.exp(w_logit)  # log-decay <= 0
+        return r, k, v, g, lw
+
+    def _group_norm(self, o: Array) -> Array:
+        """Per-head LayerNorm over the value channels (RWKV ln_x GroupNorm)."""
+        b = o.shape[0]
+        h = self.num_heads
+        shp = o.shape
+        of = o.astype(jnp.float32).reshape(*shp[:-1], h, shp[-1] // h)
+        mean = of.mean(axis=-1, keepdims=True)
+        var = of.var(axis=-1, keepdims=True)
+        of = (of - mean) * jax.lax.rsqrt(var + 1e-5)
+        of = of.reshape(shp)
+        return (of * self.ln_x_scale + self.ln_x_bias).astype(o.dtype)
+
+    def _split(self, x: Array, dh: int) -> Array:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+    # ---- full sequence ----
+    def __call__(
+        self,
+        x: Array,
+        reset_mask: Optional[Array] = None,
+        initial_state: Optional[RWKV6State] = None,
+        mode: str = "chunk",
+        reset_val: float = -20.0,
+        output_final_state: bool = False,
+    ):
+        b, t, d = x.shape
+        prev = (
+            initial_state.shift[:, None]
+            if initial_state is not None
+            else jnp.zeros((b, 1, d), x.dtype)
+        )
+        xprev = jnp.concatenate([prev, x[:, :-1]], axis=1)
+        sx = xprev - x
+        r, k, v, g, lw = self._wrkvg(x, sx)
+        if reset_mask is not None:
+            lw = jnp.where(reset_mask[..., None], reset_val, lw)
+
+        dk = self.key_dim // self.num_heads
+        dv = self.value_dim // self.num_heads
+        rh, kh, wh = self._split(r, dk), self._split(k, dk), self._split(lw, dk)
+        vh = self._split(v, dv)
+        s0 = initial_state.s if initial_state is not None else None
+        kern = rwkv6_chunk if mode == "chunk" else rwkv6_scan_ref
+        o, s_final = kern(rh, kh, vh, wh, self.time_faaaa, initial_state=s0)
+
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, self.value_dim)
+        o = self.o_proj(self._group_norm(o) * g)
+        if output_final_state:
+            return o, RWKV6State(s=s_final, shift=x[:, -1])
+        return o
+
+    # ---- one decode token ----
+    def step(self, x_t: Array, state: RWKV6State) -> Tuple[Array, RWKV6State]:
+        b, d = x_t.shape
+        sx = state.shift - x_t
+        r, k, v, g, lw = self._wrkvg(x_t, sx)
+        dk = self.key_dim // self.num_heads
+        dv = self.value_dim // self.num_heads
+        shp = lambda z, dh: z.reshape(b, self.num_heads, dh)
+        o, s = rwkv6_decode_step(
+            shp(r, dk), shp(k, dk), shp(v, dv), shp(lw, dk),
+            self.time_faaaa, state.s,
+        )
+        o = o.reshape(b, self.value_dim)
+        o = self.o_proj(self._group_norm(o) * g)
+        return o, RWKV6State(s=s, shift=x_t)
+
+
+class AttentiveRWKV6(nn.Module):
+    """Same encoder -> cross-attention -> decoder shape as AttentiveGLA
+    (reference model/rwkv6.py:16-73), with RWKV6 token mixers."""
+
+    d_model: int
+    n_layer: int
+    heads: int
+    dropout_att: float = 0.0
+    dropout: float = 0.0
+    d_blind: Optional[int] = None
+    blind: bool = False
+    cross_att_pp: bool = False
+    rotary: bool = False
+    pos_type: str = "sinusoidal"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        mk = lambda d: MixingBlock(
+            tmix=RWKV6Attention(hidden_size=d, num_heads=self.heads, dtype=self.dtype),
+            cmix=SwiGLU(d, dtype=self.dtype),
+            dropout=self.dropout,
+        )
+        self.encoder = [mk(self.d_model) for _ in range(self.n_layer)]
+        self.decoder = [mk(self.d_model) for _ in range(self.n_layer)]
+        d_blind = self.d_model if self.d_blind is None else self.d_blind
+        if self.blind:
+            self.cross_att = BlindCrossAttention(
+                self.d_model, self.d_model, self.d_model, pos_net=mk(d_blind),
+                pos_dim=d_blind, pos_type=self.pos_type, dtype=self.dtype,
+            )
+        elif self.cross_att_pp:
+            self.cross_att = CrossAttentionPP(
+                self.d_model, inter_net=mk(self.d_model), ca_heads=1, dtype=self.dtype
+            )
+        else:
+            self.cross_att = CrossAttention(
+                self.d_model, self.d_model, self.d_model, self.heads,
+                rotary=self.rotary, dtype=self.dtype,
+            )
+
+    @property
+    def _has_stateful_crossatt(self) -> bool:
+        return self.blind or self.cross_att_pp
+
+    def __call__(self, x, ctx, mask=None, reset_mask=None, init_state=None,
+                 crossatt_pos=None, return_att: bool = False,
+                 output_final_state: bool = False, deterministic: bool = True):
+        from lina_speech_tpu.models.attentive_rnn import BackboneState
+
+        use_state = init_state is not None or output_final_state
+        if init_state is None and use_state:
+            init_state = self.empty_state(x.shape[0])
+
+        finals: List = []
+        for i, blk in enumerate(self.encoder):
+            if use_state:
+                x, st = blk(x, reset_mask=reset_mask, initial_state=init_state.layers[i],
+                            output_final_state=True, deterministic=deterministic)
+            else:
+                x, st = blk(x, reset_mask=reset_mask, deterministic=deterministic), None
+            finals.append(st)
+
+        ca_state = init_state.pos_net if (use_state and self._has_stateful_crossatt) else None
+        if self._has_stateful_crossatt:
+            v, att, ca_final = self.cross_att(
+                x, ctx, mask=mask, pos=crossatt_pos, pos_net_state=ca_state,
+                reset_mask=reset_mask, return_weights=return_att,
+            )
+        else:
+            v, att = self.cross_att(x, ctx, mask=mask, return_weights=return_att)
+            ca_final = None
+        x = x + v
+
+        for i, blk in enumerate(self.decoder):
+            if use_state:
+                x, st = blk(x, reset_mask=reset_mask,
+                            initial_state=init_state.layers[self.n_layer + i],
+                            output_final_state=True, deterministic=deterministic)
+            else:
+                x, st = blk(x, reset_mask=reset_mask, deterministic=deterministic), None
+            finals.append(st)
+
+        if output_final_state:
+            return x, att, BackboneState(layers=tuple(finals), pos_net=ca_final)
+        return x, att
+
+    def step(self, y_embd, x_enc, state, mask=None, crossatt_pos=None):
+        from lina_speech_tpu.models.attentive_rnn import BackboneState
+
+        layers = list(state.layers)
+        for i, blk in enumerate(self.encoder):
+            y_embd, layers[i] = blk.step(y_embd, layers[i])
+        if self._has_stateful_crossatt:
+            v, att, pos_net_state = self.cross_att.step(
+                y_embd, x_enc, state.pos_net, mask=mask, pos=crossatt_pos
+            )
+        else:
+            v, att = self.cross_att(y_embd[:, None], x_enc, mask=mask, return_weights=True)
+            v, att, pos_net_state = v[:, 0], att[:, :, 0], None
+        y_embd = y_embd + v
+        for i, blk in enumerate(self.decoder):
+            j = self.n_layer + i
+            y_embd, layers[j] = blk.step(y_embd, layers[j])
+        return y_embd, att, BackboneState(layers=tuple(layers), pos_net=pos_net_state)
+
+    def empty_state(self, batch_size: int, dtype: Any = jnp.float32):
+        from lina_speech_tpu.models.attentive_rnn import BackboneState
+        from lina_speech_tpu.models.gla_layer import gla_empty_state
+
+        mk = lambda d: rwkv6_empty_state(batch_size, d, self.heads, dtype=dtype)
+        layers = tuple(mk(self.d_model) for _ in range(2 * self.n_layer))
+        pos_net = None
+        if self._has_stateful_crossatt:
+            d_blind = self.d_model if self.d_blind is None else self.d_blind
+            if self.blind or self.cross_att_pp:
+                pos_net = mk(d_blind)
+        return BackboneState(layers=layers, pos_net=pos_net)

@@ -1,0 +1,101 @@
+"""Backbone variants: RWKV6 kernel parity, simple-GLA, transformer baseline."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lina_speech_tpu.ops.rwkv6 import rwkv6_chunk, rwkv6_decode_step, rwkv6_scan_ref
+
+
+def rwkv_inputs(key, b=2, h=2, t=50, dk=16, dv=24):
+    ks = jax.random.split(key, 5)
+    r = jax.random.normal(ks[0], (b, h, t, dk))
+    k = jax.random.normal(ks[1], (b, h, t, dk))
+    v = jax.random.normal(ks[2], (b, h, t, dv))
+    w = -jnp.exp(jax.random.normal(ks[3], (b, h, t, dk)) * 0.5 - 2.0)
+    u = jax.random.normal(ks[4], (h, dk)) * 0.5
+    return r, k, v, w, u
+
+
+@pytest.mark.parametrize("t", [50, 32, 7])
+def test_rwkv6_chunk_matches_scan(t):
+    r, k, v, w, u = rwkv_inputs(jax.random.PRNGKey(0), t=t)
+    o_ref, s_ref = rwkv6_scan_ref(r, k, v, w, u)
+    o_chk, s_chk = rwkv6_chunk(r, k, v, w, u, chunk_size=16, subchunk_size=4)
+    np.testing.assert_allclose(np.asarray(o_chk), np.asarray(o_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_rwkv6_decode_matches_scan():
+    r, k, v, w, u = rwkv_inputs(jax.random.PRNGKey(1), b=1, t=20)
+    o_ref, s_ref = rwkv6_scan_ref(r, k, v, w, u)
+    state = jnp.zeros((1, 2, 16, 24), jnp.float32)
+    outs = []
+    for i in range(20):
+        o, state = rwkv6_decode_step(r[:, :, i], k[:, :, i], v[:, :, i], w[:, :, i], u, state)
+        outs.append(o)
+    o_seq = jnp.stack(outs, axis=2)
+    np.testing.assert_allclose(np.asarray(o_seq), np.asarray(o_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(state), np.asarray(s_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_rwkv6_chunk_with_initial_state_and_resets():
+    r, k, v, w, u = rwkv_inputs(jax.random.PRNGKey(2), t=33)
+    w = w.at[:, :, 10].set(-20.0)  # hard reset mid-sequence
+    s0 = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 16, 24)).astype(jnp.float32)
+    o_ref, s_ref = rwkv6_scan_ref(r, k, v, w, u, initial_state=s0)
+    o_chk, s_chk = rwkv6_chunk(r, k, v, w, u, initial_state=s0, chunk_size=8, subchunk_size=4)
+    np.testing.assert_allclose(np.asarray(o_chk), np.asarray(o_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref), rtol=2e-4, atol=2e-4)
+
+
+# ---------------- model-level variants ----------------
+def _variant_model(kind):
+    import dataclasses
+    from lina_speech_tpu.config import lina_gla_tiny, build_model
+
+    cfg = lina_gla_tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(
+            cfg.backbone, kind=kind,
+            cross_att_layers=(1,) if kind == "transformer" else (),
+            blind=kind != "transformer",
+        ),
+    )
+    return cfg, build_model(cfg)
+
+
+@pytest.mark.parametrize("kind", ["simple_gla", "rwkv6", "transformer"])
+def test_variant_forward_and_decode(kind):
+    cfg, model = _variant_model(kind)
+    b, m, n = 2, 7, 17
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (b, m), 3, 256)
+    y = jax.random.randint(key, (b, n, 1), 3, 53)
+    em = jnp.ones((b, m, m), bool)
+    cm = jnp.ones((b, n, m), bool)
+    lm = jnp.ones((b, n), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), x, y, em, cm, lm)
+    logits, loss, _ = model.apply(params, x, y, em, cm, lm)
+    assert logits.shape == (b, n - 1, 1, 53)
+    assert np.isfinite(float(loss))
+
+    # decode path parity vs prefill
+    from lina_speech_tpu.models.lina import LinaModel
+
+    y_q = jnp.transpose(y, (2, 0, 1))
+    y_embd = model.apply(params, y_q, method=LinaModel.embed_tokens)
+    x_enc = model.apply(params, x, method=LinaModel.encode_text)
+    logits_pre, _, state_pre = model.apply(params, y_embd, x_enc, method=LinaModel.prefill)
+
+    state = model.empty_state(b)
+    step = jax.jit(lambda p, e, xe, st: model.apply(p, e, xe, st, method=LinaModel.decode_step))
+    outs = []
+    for t in range(n):
+        lg, _, state = step(params, y_embd[:, t], x_enc, state)
+        outs.append(lg)
+    logits_seq = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(logits_seq), np.asarray(logits_pre), rtol=3e-4, atol=3e-4
+    )
