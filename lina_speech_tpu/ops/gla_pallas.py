@@ -1,0 +1,174 @@
+"""Pallas TPU kernel for the chunked GLA scan (training forward path).
+
+Replaces the reference's Triton ``fused_chunk_gla`` (model/gla.py:192-195;
+kernel in the external flash-linear-attention submodule). Design:
+
+- grid = (batch*heads [parallel], chunks [sequential]); the fp32 recurrent
+  state (d_k, d_v) lives in VMEM scratch and carries across the sequential
+  chunk dimension; q/k/v/g chunk blocks are double-buffered HBM->VMEM by the
+  BlockSpec pipeline.
+- inside a chunk, a static loop over 16-token sub-chunks:
+  cumsum via a lower-triangular MXU matmul, inter readout (16, dk) @
+  (dk, dv) on the MXU, within-sub-chunk pairwise decay on the VPU (every
+  exp argument <= 0 — stable under -20 resets), state update
+  (dk, 16) @ (16, dv) on the MXU.
+- IO in model dtype (bf16-friendly); all accumulation fp32.
+
+Backward: custom_vjp whose bwd differentiates the pure-XLA ``gla_chunk``
+(same math — parity-tested); a handwritten Pallas backward is a later
+optimization.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lina_speech_tpu.ops.gla import gla_chunk
+
+Array = jnp.ndarray
+
+SUB = 16  # sub-chunk (MXU-friendly sublane count, pairwise tile size)
+
+
+def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, state,
+            *, chunk_size: int, scale: float, out_dtype):
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        state[:] = s0_ref[0].astype(jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    tril_inc = (row >= col).astype(jnp.float32)
+
+    for i in range(chunk_size // SUB):
+        sl = pl.ds(i * SUB, SUB)
+        g = g_ref[0, sl, :].astype(jnp.float32)  # (SUB, dk)
+        bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
+        btot = bcum[SUB - 1 : SUB, :]  # (1, dk)
+
+        q = q_ref[0, sl, :].astype(jnp.float32) * scale
+        k = k_ref[0, sl, :].astype(jnp.float32)
+        v = v_ref[0, sl, :].astype(jnp.float32)
+
+        # inter: decayed query against carried state
+        o = jnp.dot(q * jnp.exp(bcum), state[:], preferred_element_type=jnp.float32)
+
+        # within-sub-chunk pairwise: A[t, s] = sum_d q k exp(b_t - b_s), s <= t
+        pair = bcum[:, None, :] - bcum[None, :, :]  # (SUB, SUB, dk), tril <= 0
+        A = jnp.sum(q[:, None, :] * k[None, :, :] * jnp.exp(pair), axis=-1)
+        A = jnp.where(tril_inc > 0, A, 0.0)
+        o = o + jnp.dot(A, v, preferred_element_type=jnp.float32)
+        o_ref[0, sl, :] = o.astype(out_dtype)
+
+        # state update: S = exp(btot) * S + (k decayed-to-end)^T v
+        kd = k * jnp.exp(btot - bcum)
+        state[:] = state[:] * jnp.exp(btot)[0][:, None] + jnp.dot(
+            kd.T, v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(c == nc - 1)
+    def _():
+        sf_ref[0] = state[:]
+
+
+def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret):
+    b, h, t, dk = q.shape
+    dv = v.shape[-1]
+    C = chunk_size
+    pad = (-t) % C
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        q, k, v, gk = pz(q), pz(k), pz(v), pz(gk)
+    T = t + pad
+    nc = T // C
+    bh = b * h
+
+    rs = lambda x, d: x.reshape(bh, T, d)
+    q2, k2, v2, g2 = rs(q, dk), rs(k, dk), rs(v, dv), rs(gk, dk)
+    s0 = initial_state.reshape(bh, dk, dv).astype(jnp.float32)
+
+    kern = functools.partial(
+        _kernel, chunk_size=C, scale=scale, out_dtype=q.dtype
+    )
+    o, sf = pl.pallas_call(
+        kern,
+        grid=(bh, nc),
+        in_specs=[
+            pl.BlockSpec((1, C, dk), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, C, dk), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, C, dk), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, T, dv), q.dtype),
+            jax.ShapeDtypeStruct((bh, dk, dv), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((dk, dv), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q2, k2, v2, g2, s0)
+
+    o = o.reshape(b, h, T, dv)[:, :, :t]
+    return o, sf.reshape(b, h, dk, dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret):
+    return _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret)
+
+
+def _vjp_fwd(q, k, v, gk, initial_state, scale, chunk_size, interpret):
+    out = _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret)
+    return out, (q, k, v, gk, initial_state)
+
+
+def _vjp_bwd(scale, chunk_size, interpret, residuals, cotangents):
+    q, k, v, gk, initial_state = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v, gk, s0: gla_chunk(
+            q, k, v, gk, initial_state=s0, scale=scale, chunk_size=chunk_size
+        ),
+        q, k, v, gk, initial_state,
+    )
+    return vjp(cotangents)
+
+
+_gla_chunk_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def gla_chunk_pallas(
+    q: Array,
+    k: Array,
+    v: Array,
+    gk: Array,
+    initial_state: Optional[Array] = None,
+    scale: Optional[float] = None,
+    chunk_size: int = 128,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Drop-in for :func:`lina_speech_tpu.ops.gla.gla_chunk` (Pallas fwd)."""
+    b, h, t, dk = q.shape
+    dv = v.shape[-1]
+    if scale is None:
+        scale = dk ** -0.5
+    if initial_state is None:
+        initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret)

@@ -1,0 +1,124 @@
+"""Training CLI: ``python -m lina_speech_tpu.train.cli fit --config cfg.yaml``.
+
+Replaces the reference's LightningCLI entry (train_lina.py:122-132) with a
+dependency-light argparse + YAML config front-end over the jitted sharded
+train step. Supports warm starts (reference ``load_weights``), periodic
+orbax checkpoints, eval passes, profiling traces, and the synthetic
+datamodule when no data source is configured.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def build_data(data_cfg: Dict[str, Any], model_cfg,
+               dp: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+    kind = data_cfg.get("kind", "synthetic")
+    batch_size = int(data_cfg.get("batch_size", 8))
+    # per-batch leading axis must divide over the dp mesh axis
+    batch_size = -(-batch_size // dp) * dp
+    if kind == "synthetic":
+        from lina_speech_tpu.data.synthetic import synthetic_tts_batches
+
+        return synthetic_tts_batches(
+            batch_size=batch_size,
+            n_quant=model_cfg.n_quant,
+            n_codebook=model_cfg.n_codebook,
+            min_audio_len=int(data_cfg.get("min_audio_len", 64)),
+            max_audio_len=int(data_cfg.get("max_audio_len", 256)),
+            seed=int(data_cfg.get("seed", 0)),
+        )
+    raise ValueError(f"unknown data kind {kind!r}")
+
+
+def fit(args) -> None:
+    from lina_speech_tpu.config import ModelConfig, build_model, load_config
+    from lina_speech_tpu.parallel import (
+        MeshConfig, make_mesh, shard_batch, shard_params,
+    )
+    from lina_speech_tpu.train.harness import (
+        TrainConfig, create_train_state, make_eval_step, make_train_step,
+    )
+    from lina_speech_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+    from lina_speech_tpu.utils.profiling import MetricsLogger, StepTimer
+
+    if args.config:
+        cfg = load_config(args.config)
+        model_cfg, train_cfg, data_cfg = cfg["model"], cfg["train"], cfg["data"]
+    else:
+        model_cfg, train_cfg, data_cfg = ModelConfig(), TrainConfig(), {}
+    if args.steps:
+        import dataclasses
+
+        train_cfg = dataclasses.replace(train_cfg, n_training_steps=args.steps)
+
+    model = build_model(model_cfg)
+    mesh = make_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+    data = build_data(data_cfg, model_cfg, dp=mesh.shape["dp"])
+    batch0 = next(data)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed),
+        batch0["text_token"], batch0["audio_token"], batch0["encoder_mask"],
+        batch0["crossatt_mask"], batch0["y_mask"],
+    )
+    if args.load_weights:
+        params = restore_checkpoint(args.load_weights, params)
+    params = shard_params(params, mesh)
+    state = create_train_state(model, params, train_cfg)
+    train_step = make_train_step(model)
+    eval_step = make_eval_step(model)
+
+    logger = MetricsLogger(args.log_file, print_every=args.log_every)
+    timer = StepTimer()
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    for step_idx in range(train_cfg.n_training_steps):
+        batch = shard_batch(next(data) if step_idx else batch0, mesh)
+        with timer:
+            state, metrics = train_step(state, batch, rng)
+            metrics = {k: float(v) for k, v in metrics.items()}
+        if step_idx % args.log_every == 0:
+            metrics["step_time_s"] = timer.last
+            logger.log(step_idx, metrics)
+        if args.ckpt_dir and step_idx > 0 and step_idx % args.ckpt_every == 0:
+            save_checkpoint(os.path.abspath(args.ckpt_dir), state.params, step=step_idx)
+        if args.eval_every and step_idx > 0 and step_idx % args.eval_every == 0:
+            em = eval_step(state, shard_batch(next(data), mesh))
+            logger.log(step_idx, {f"val_{k}": float(v) for k, v in em.items()})
+
+    if args.ckpt_dir:
+        save_checkpoint(os.path.abspath(args.ckpt_dir), state.params,
+                        step=train_cfg.n_training_steps)
+    logger.close()
+    print(f"done: {train_cfg.n_training_steps} steps, "
+          f"mean step {timer.mean*1e3:.1f} ms")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lina_speech_tpu.train")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    f = sub.add_parser("fit")
+    f.add_argument("--config", type=str, default=None)
+    f.add_argument("--steps", type=int, default=None)
+    f.add_argument("--dp", type=int, default=-1)
+    f.add_argument("--tp", type=int, default=1)
+    f.add_argument("--seed", type=int, default=0)
+    f.add_argument("--load-weights", type=str, default=None)
+    f.add_argument("--ckpt-dir", type=str, default=None)
+    f.add_argument("--ckpt-every", type=int, default=1000)
+    f.add_argument("--eval-every", type=int, default=0)
+    f.add_argument("--log-every", type=int, default=10)
+    f.add_argument("--log-file", type=str, default=None)
+    args = p.parse_args(argv)
+    if args.cmd == "fit":
+        fit(args)
+
+
+if __name__ == "__main__":
+    main()

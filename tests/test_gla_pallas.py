@@ -1,0 +1,56 @@
+"""Pallas chunked GLA kernel parity vs the scan oracle (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lina_speech_tpu.ops import gla_scan_ref
+from lina_speech_tpu.ops.gla_pallas import gla_chunk_pallas
+
+from test_gla_kernels import make_inputs
+
+
+@pytest.mark.parametrize("t,reset", [(100, False), (128, True), (17, False)])
+def test_pallas_chunk_matches_scan(t, reset):
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(0), t=t, reset=reset, dk=32, dv=64)
+    o_ref, s_ref = gla_scan_ref(q, k, v, gk)
+    o_pal, s_pal = gla_chunk_pallas(q, k, v, gk, chunk_size=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_with_initial_state():
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(1), t=48, dk=32, dv=64)
+    s0 = jax.random.normal(jax.random.PRNGKey(7), (2, 2, 32, 64)).astype(jnp.float32)
+    o_ref, s_ref = gla_scan_ref(q, k, v, gk, initial_state=s0)
+    o_pal, s_pal = gla_chunk_pallas(q, k, v, gk, initial_state=s0, chunk_size=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_grads_match_xla_path():
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(2), b=1, h=1, t=32, dk=16, dv=16)
+    s0 = jnp.zeros((1, 1, 16, 16), jnp.float32)
+
+    def loss_pal(q, k, v, gk, s0):
+        o, s = gla_chunk_pallas(q, k, v, gk, initial_state=s0, chunk_size=16, interpret=True)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    def loss_ref(q, k, v, gk, s0):
+        o, s = gla_scan_ref(q, k, v, gk, initial_state=s0)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(q, k, v, gk, s0)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, gk, s0)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_bf16_io():
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(3), t=64, dk=32, dv=64, dtype=jnp.bfloat16)
+    o, s = gla_chunk_pallas(q, k, v, gk, chunk_size=32, interpret=True)
+    assert o.dtype == jnp.bfloat16 and s.dtype == jnp.float32
+    o_ref, _ = gla_scan_ref(q, k, v, gk)
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(o_ref, np.float32), rtol=0.1, atol=0.1
+    )
