@@ -124,6 +124,15 @@ def build_model(cfg: ModelConfig):
             blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
             pos_type=b.pos_type, dtype=dtype,
         )
+    elif b.kind == "mamba":
+        from lina_speech_tpu.models.mamba import AttentiveMamba
+
+        rnn = AttentiveMamba(
+            d_model=b.d_model, n_layer=b.n_layer, heads=b.heads,
+            dropout_att=b.dropout_att, dropout=b.dropout, d_blind=b.d_blind,
+            blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
+            pos_type=b.pos_type, dtype=dtype,
+        )
     elif b.kind == "transformer":
         from lina_speech_tpu.models.transformer import TransformerCrossAtt
 

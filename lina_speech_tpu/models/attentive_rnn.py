@@ -1,20 +1,26 @@
-"""Attentive-RNN backbones: GLA encoder -> cross-attention -> GLA decoder.
+"""Attentive-RNN backbones: recurrent encoder -> cross-attention -> decoder.
 
 TPU-native re-design of the reference backbone contract
 (model/attentive_rnn.py:6-17 — forward / init_state / step) with the state
 made an explicit pytree (:class:`BackboneState`) instead of a mutable Cache:
 
-- ``__call__``: full-sequence training/prefill path over the chunked GLA
-  kernel; optionally seeds from / returns the full state pytree, so prompt
-  prefill for generation runs chunk-parallel instead of token-by-token (a
-  deliberate improvement over the reference's sequential prompt feeding,
+- ``__call__``: full-sequence training/prefill path over the chunked kernels;
+  optionally seeds from / returns the full state pytree, so prompt prefill
+  for generation runs chunk-parallel instead of token-by-token (a deliberate
+  improvement over the reference's sequential prompt feeding,
   modeling_lina.py:175-179 — bitwise the same recurrence).
 - ``step``: one AR token; jits inside ``lax.scan`` / ``while_loop``.
 - initial-state tuning hooks (reference gla.py:315-356): LoRA-factorized
   per-layer S0 parameters, materialized into a :class:`BackboneState`.
 
-``AttentiveGLA`` mirrors reference gla.py:252-365 (the released-checkpoint
-architecture); ``CrossAttGLA`` mirrors gla.py:367-420 (interleaved variant).
+:class:`EncoderCrossDecoder` is the shared scaffold (the reference repeats
+this shape in gla.py / simple_gla.py / rwkv6.py / mamba.py); concrete
+backbones plug in their token mixer + per-layer state. ``AttentiveGLA``
+mirrors gla.py:252-365 (the released-checkpoint architecture);
+``CrossAttGLA`` mirrors gla.py:367-420 (interleaved variant). Also supported
+(from the mamba variant, mamba.py:75-82): ``forced_attention`` — an
+externally imposed cross-attention matrix — and ``attention_only`` early
+exit.
 """
 from __future__ import annotations
 
@@ -42,12 +48,12 @@ Array = jnp.ndarray
 
 @flax.struct.dataclass
 class BackboneState:
-    """Decode state for the whole backbone: per-block GLA states, in order
+    """Decode state for the whole backbone: per-block mixer states, in order
     encoder blocks then decoder blocks, plus the cross-attention's stateful
     pos_net / inter_net block if present."""
 
-    layers: Tuple[GLAState, ...]
-    pos_net: Optional[GLAState] = None
+    layers: Tuple[Any, ...]
+    pos_net: Optional[Any] = None
 
 
 def _gla_block(d: int, h: int, use_short_conv: bool, expand_k: float, expand_v: float,
@@ -69,42 +75,45 @@ def _gla_block(d: int, h: int, use_short_conv: bool, expand_k: float, expand_v: 
     )
 
 
-class AttentiveGLA(nn.Module):
-    d_model: int
-    n_layer: int
-    heads: int
+class EncoderCrossDecoder(nn.Module):
+    """Shared scaffold: n_layer mixer blocks -> ONE cross-attention -> n_layer
+    mixer blocks, with an explicit state pytree threading through all of it."""
+
+    d_model: int = 1024
+    n_layer: int = 12
+    heads: int = 4
     dropout_att: float = 0.0
     dropout: float = 0.0
     d_blind: Optional[int] = None
     blind: bool = False
     cross_att_pp: bool = False
     rotary: bool = False
-    use_short_conv: bool = False
-    expand_k: float = 1.0
-    expand_v: float = 2.0
     pos_type: str = "sinusoidal"
-    chunk_size: int = 64
     remat: bool = False
-    scalar_gate: bool = False
     dtype: Any = jnp.float32
 
+    # ---- subclass hooks ----
+    def _block(self, d: int) -> nn.Module:
+        raise NotImplementedError
+
+    def _layer_state(self, batch_size: int, d: int, dtype: Any):
+        raise NotImplementedError
+
+    # ---- construction ----
     def setup(self):
-        mk = lambda d: _gla_block(
-            d, self.heads, self.use_short_conv, self.expand_k, self.expand_v,
-            self.dropout, self.chunk_size, self.dtype, self.scalar_gate,
-        )
-        self.encoder = [mk(self.d_model) for _ in range(self.n_layer)]
-        self.decoder = [mk(self.d_model) for _ in range(self.n_layer)]
+        self.encoder = [self._block(self.d_model) for _ in range(self.n_layer)]
+        self.decoder = [self._block(self.d_model) for _ in range(self.n_layer)]
         d_blind = self.d_model if self.d_blind is None else self.d_blind
         if self.blind:
             self.cross_att = BlindCrossAttention(
                 self.d_model, self.d_model, self.d_model,
-                pos_net=mk(d_blind), pos_dim=d_blind, pos_type=self.pos_type,
-                dtype=self.dtype,
+                pos_net=self._block(d_blind), pos_dim=d_blind,
+                pos_type=self.pos_type, dtype=self.dtype,
             )
         elif self.cross_att_pp:
             self.cross_att = CrossAttentionPP(
-                self.d_model, inter_net=mk(self.d_model), ca_heads=1, dtype=self.dtype
+                self.d_model, inter_net=self._block(self.d_model), ca_heads=1,
+                dtype=self.dtype,
             )
         else:
             self.cross_att = CrossAttention(
@@ -116,7 +125,7 @@ class AttentiveGLA(nn.Module):
     def _has_stateful_crossatt(self) -> bool:
         return self.blind or self.cross_att_pp
 
-    # ---------- full sequence ----------
+    # ---- full sequence ----
     def __call__(
         self,
         x: Array,
@@ -128,6 +137,8 @@ class AttentiveGLA(nn.Module):
         return_att: bool = False,
         output_final_state: bool = False,
         deterministic: bool = True,
+        forced_attention: Optional[Array] = None,
+        attention_only: bool = False,
     ):
         """x: (b, t, d) audio-embedding stream; ctx: (b, m, d) text encoding.
 
@@ -148,21 +159,28 @@ class AttentiveGLA(nn.Module):
                 return fn(block, x, reset_mask), None
             return block(x, reset_mask=reset_mask, deterministic=deterministic), None
 
-        final_layers: List[Optional[GLAState]] = []
+        final_layers: List = []
         for i, blk in enumerate(self.encoder):
             st = init_state.layers[i] if use_state else None
             x, st = run_block(blk, x, st)
             final_layers.append(st)
 
         ca_state = init_state.pos_net if (use_state and self._has_stateful_crossatt) else None
-        if self._has_stateful_crossatt:
+        ca_final = None
+        if forced_attention is not None:
+            # impose the cross-attention matrix (reference mamba.py:75-78)
+            ctx_v = self.cross_att.ln_v(self.cross_att.v(ctx))
+            v = jnp.einsum("bmn,bmd->bnd", forced_attention, ctx_v)
+            att = forced_attention
+        elif self._has_stateful_crossatt:
             v, att, ca_final = self.cross_att(
                 x, ctx, mask=mask, pos=crossatt_pos, pos_net_state=ca_state,
                 reset_mask=reset_mask, return_weights=return_att,
             )
         else:
             v, att = self.cross_att(x, ctx, mask=mask, return_weights=return_att)
-            ca_final = None
+        if attention_only:
+            return v, att
         x = x + v
 
         for i, blk in enumerate(self.decoder):
@@ -174,7 +192,7 @@ class AttentiveGLA(nn.Module):
             return x, att, BackboneState(layers=tuple(final_layers), pos_net=ca_final)
         return x, att
 
-    # ---------- one decode token ----------
+    # ---- one decode token ----
     def step(
         self,
         y_embd: Array,
@@ -208,27 +226,44 @@ class AttentiveGLA(nn.Module):
 
         return y_embd, att, BackboneState(layers=tuple(layers), pos_net=pos_net_state)
 
-    # ---------- state management ----------
-    def _layer_dims(self):
-        key_dim = int(self.d_model * self.expand_k)
-        value_dim = int(self.d_model * self.expand_v)
-        return key_dim // self.heads, value_dim // self.heads
-
+    # ---- state management ----
     def empty_state(self, batch_size: int, dtype: Any = jnp.float32) -> BackboneState:
         """Zero state for all 2*n_layer blocks (+ pos_net); reference
         gla.py:302-313 (including the state the reference's buggy
         ``d.tmix`` indexing was *meant* to create for pos_net)."""
-        mk = lambda d: gla_empty_state(
-            batch_size, d, self.heads, self.expand_k, self.expand_v,
-            self.use_short_conv, False, 4, dtype,
-        )
+        mk = lambda d: self._layer_state(batch_size, d, dtype)
         layers = tuple(mk(self.d_model) for _ in range(2 * self.n_layer))
         pos_net = None
         if self._has_stateful_crossatt:
             pos_net = mk(self.d_model if self.d_blind is None else self.d_blind)
         return BackboneState(layers=layers, pos_net=pos_net)
 
+
+class AttentiveGLA(EncoderCrossDecoder):
+    use_short_conv: bool = False
+    expand_k: float = 1.0
+    expand_v: float = 2.0
+    chunk_size: int = 64
+    scalar_gate: bool = False
+
+    def _block(self, d: int) -> MixingBlock:
+        return _gla_block(
+            d, self.heads, self.use_short_conv, self.expand_k, self.expand_v,
+            self.dropout, self.chunk_size, self.dtype, self.scalar_gate,
+        )
+
+    def _layer_state(self, batch_size: int, d: int, dtype: Any) -> GLAState:
+        return gla_empty_state(
+            batch_size, d, self.heads, self.expand_k, self.expand_v,
+            self.use_short_conv, False, 4, dtype,
+        )
+
     # ---------- initial-state tuning (speaker adaptation) ----------
+    def _layer_dims(self):
+        key_dim = int(self.d_model * self.expand_k)
+        value_dim = int(self.d_model * self.expand_v)
+        return key_dim // self.heads, value_dim // self.heads
+
     def init_state_tuning_params(
         self, key: jax.Array, rank: Optional[int] = 1, scale: float = 0.02
     ) -> List:
@@ -299,7 +334,8 @@ class CrossAttGLA(nn.Module):
 
     def __call__(self, x, ctx, mask=None, reset_mask=None, init_state=None,
                  crossatt_pos=None, return_att: bool = False,
-                 output_final_state: bool = False, deterministic: bool = True):
+                 output_final_state: bool = False, deterministic: bool = True,
+                 forced_attention=None, attention_only: bool = False):
         use_state = init_state is not None or output_final_state
         if init_state is None and use_state:
             init_state = self.empty_state(x.shape[0])

@@ -1,0 +1,148 @@
+"""Mamba (selective SSM) token mixer + AttentiveMamba backbone.
+
+Rebuild of the reference's mamba variant (model/mamba.py:20-113, layer from
+the external ``mamba_ssm`` CUDA package — not in tree; semantics follow
+Mamba v1): in_proj -> depthwise causal conv + silu -> selective scan with
+input-dependent (dt, B, C) -> gate -> out_proj. Defaults d_state=16,
+d_conv=4, expand=2 (mamba.py:46-55).
+
+The scan runs as a log-depth ``associative_scan`` (ops/mamba.py) in
+training and a fused single step in decode; state = conv ring buffer +
+(d_inner, d_state) SSM state. The reference's Mamba2/SSD variant is not yet
+implemented (version=1 only).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from lina_speech_tpu.models.attentive_rnn import EncoderCrossDecoder
+from lina_speech_tpu.models.base_blocks import MixingBlock, SwiGLU
+from lina_speech_tpu.ops.mamba import selective_scan, selective_step
+from lina_speech_tpu.ops.short_conv import causal_depthwise_conv, short_conv_step
+
+Array = jnp.ndarray
+
+
+@flax.struct.dataclass
+class MambaState:
+    h: Array       # (b, d_inner, d_state) fp32 SSM state
+    conv: Array    # (b, d_inner, d_conv) conv ring buffer
+
+
+def mamba_empty_state(batch_size: int, d_model: int, expand: int = 2,
+                      d_state: int = 16, d_conv: int = 4,
+                      dtype: Any = jnp.float32) -> MambaState:
+    d_inner = expand * d_model
+    return MambaState(
+        h=jnp.zeros((batch_size, d_inner, d_state), jnp.float32),
+        conv=jnp.zeros((batch_size, d_inner, d_conv), dtype),
+    )
+
+
+class MambaMixer(nn.Module):
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def d_inner(self) -> int:
+        return self.expand * self.d_model
+
+    @property
+    def _dt_rank(self) -> int:
+        return self.dt_rank or math.ceil(self.d_model / 16)
+
+    def setup(self):
+        self.in_proj = nn.Dense(2 * self.d_inner, use_bias=False, dtype=self.dtype)
+        self.conv_kernel = self.param(
+            "conv_kernel", nn.initializers.lecun_normal(), (self.d_inner, self.d_conv),
+            jnp.float32,
+        )
+        self.conv_bias = self.param(
+            "conv_bias", nn.initializers.zeros, (self.d_inner,), jnp.float32
+        )
+        self.x_proj = nn.Dense(self._dt_rank + 2 * self.d_state, use_bias=False,
+                               dtype=self.dtype)
+        self.dt_proj = nn.Dense(self.d_inner, use_bias=True, dtype=self.dtype)
+        # S4D-real init: A_n = -(n+1)
+        self.A_log = self.param(
+            "A_log",
+            lambda k, s: jnp.log(jnp.broadcast_to(jnp.arange(1, self.d_state + 1,
+                                                             dtype=jnp.float32), s)),
+            (self.d_inner, self.d_state),
+        )
+        self.D = self.param("D", nn.initializers.ones, (self.d_inner,), jnp.float32)
+        self.out_proj = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)
+
+    def _ssm_inputs(self, x_conv: Array):
+        dbc = self.x_proj(x_conv)
+        dt, B, C = jnp.split(dbc, [self._dt_rank, self._dt_rank + self.d_state], axis=-1)
+        dt = jax.nn.softplus(self.dt_proj(dt).astype(jnp.float32))
+        A = -jnp.exp(self.A_log)
+        return dt, A, B, C
+
+    def __call__(
+        self,
+        x: Array,
+        reset_mask: Optional[Array] = None,
+        initial_state: Optional[MambaState] = None,
+        output_final_state: bool = False,
+        **kwargs,
+    ):
+        """x: (b, t, d). reset_mask zeroes dt... state wipe is emulated by a
+        huge dt*A decay at reset positions."""
+        b, t, _ = x.shape
+        xz = self.in_proj(x)
+        xs, z = jnp.split(xz, 2, axis=-1)
+        x_conv = causal_depthwise_conv(xs, self.conv_kernel.astype(self.dtype),
+                                       self.conv_bias.astype(self.dtype))
+        dt, A, B, C = self._ssm_inputs(x_conv)
+        s0 = initial_state.h if initial_state is not None else None
+        y, h_final = selective_scan(x_conv, dt, A, B, C, self.D, initial_state=s0,
+                                    reset_mask=reset_mask)
+        out = self.out_proj(y * nn.silu(z))
+        if output_final_state:
+            w = self.d_conv
+            tail = jnp.pad(xs, ((0, 0), (max(0, w - t), 0), (0, 0)))[:, -w:, :]
+            return out, MambaState(h=h_final, conv=tail.transpose(0, 2, 1))
+        return out
+
+    def step(self, x_t: Array, state: MambaState) -> Tuple[Array, MambaState]:
+        xz = self.in_proj(x_t)
+        xs, z = jnp.split(xz, 2, axis=-1)
+        x_conv, conv = short_conv_step(xs, state.conv, self.conv_kernel.astype(self.dtype),
+                                       self.conv_bias.astype(self.dtype))
+        dt, A, B, C = self._ssm_inputs(x_conv)
+        y, h = selective_step(x_conv, dt, A, B, C, self.D, state.h)
+        out = self.out_proj(y * nn.silu(z))
+        return out, MambaState(h=h, conv=conv)
+
+
+class AttentiveMamba(EncoderCrossDecoder):
+    """Encoder -> cross-attention -> decoder with Mamba mixers
+    (reference model/mamba.py:20-113)."""
+
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+
+    def _block(self, d: int) -> MixingBlock:
+        return MixingBlock(
+            tmix=MambaMixer(d_model=d, d_state=self.d_state, d_conv=self.d_conv,
+                            expand=self.expand, dtype=self.dtype),
+            cmix=SwiGLU(d, dtype=self.dtype),
+            dropout=self.dropout,
+        )
+
+    def _layer_state(self, batch_size: int, d: int, dtype: Any) -> MambaState:
+        return mamba_empty_state(batch_size, d, self.expand, self.d_state,
+                                 self.d_conv, dtype)

@@ -18,6 +18,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from lina_speech_tpu.models.attentive_rnn import EncoderCrossDecoder
 from lina_speech_tpu.models.base_blocks import MixingBlock, SwiGLU
 from lina_speech_tpu.models.crossatt import (
     BlindCrossAttention,
@@ -185,120 +186,16 @@ class RWKV6Attention(nn.Module):
         return o, RWKV6State(s=s, shift=x_t)
 
 
-class AttentiveRWKV6(nn.Module):
+class AttentiveRWKV6(EncoderCrossDecoder):
     """Same encoder -> cross-attention -> decoder shape as AttentiveGLA
     (reference model/rwkv6.py:16-73), with RWKV6 token mixers."""
 
-    d_model: int
-    n_layer: int
-    heads: int
-    dropout_att: float = 0.0
-    dropout: float = 0.0
-    d_blind: Optional[int] = None
-    blind: bool = False
-    cross_att_pp: bool = False
-    rotary: bool = False
-    pos_type: str = "sinusoidal"
-    dtype: Any = jnp.float32
-
-    def setup(self):
-        mk = lambda d: MixingBlock(
+    def _block(self, d: int) -> MixingBlock:
+        return MixingBlock(
             tmix=RWKV6Attention(hidden_size=d, num_heads=self.heads, dtype=self.dtype),
             cmix=SwiGLU(d, dtype=self.dtype),
             dropout=self.dropout,
         )
-        self.encoder = [mk(self.d_model) for _ in range(self.n_layer)]
-        self.decoder = [mk(self.d_model) for _ in range(self.n_layer)]
-        d_blind = self.d_model if self.d_blind is None else self.d_blind
-        if self.blind:
-            self.cross_att = BlindCrossAttention(
-                self.d_model, self.d_model, self.d_model, pos_net=mk(d_blind),
-                pos_dim=d_blind, pos_type=self.pos_type, dtype=self.dtype,
-            )
-        elif self.cross_att_pp:
-            self.cross_att = CrossAttentionPP(
-                self.d_model, inter_net=mk(self.d_model), ca_heads=1, dtype=self.dtype
-            )
-        else:
-            self.cross_att = CrossAttention(
-                self.d_model, self.d_model, self.d_model, self.heads,
-                rotary=self.rotary, dtype=self.dtype,
-            )
 
-    @property
-    def _has_stateful_crossatt(self) -> bool:
-        return self.blind or self.cross_att_pp
-
-    def __call__(self, x, ctx, mask=None, reset_mask=None, init_state=None,
-                 crossatt_pos=None, return_att: bool = False,
-                 output_final_state: bool = False, deterministic: bool = True):
-        from lina_speech_tpu.models.attentive_rnn import BackboneState
-
-        use_state = init_state is not None or output_final_state
-        if init_state is None and use_state:
-            init_state = self.empty_state(x.shape[0])
-
-        finals: List = []
-        for i, blk in enumerate(self.encoder):
-            if use_state:
-                x, st = blk(x, reset_mask=reset_mask, initial_state=init_state.layers[i],
-                            output_final_state=True, deterministic=deterministic)
-            else:
-                x, st = blk(x, reset_mask=reset_mask, deterministic=deterministic), None
-            finals.append(st)
-
-        ca_state = init_state.pos_net if (use_state and self._has_stateful_crossatt) else None
-        if self._has_stateful_crossatt:
-            v, att, ca_final = self.cross_att(
-                x, ctx, mask=mask, pos=crossatt_pos, pos_net_state=ca_state,
-                reset_mask=reset_mask, return_weights=return_att,
-            )
-        else:
-            v, att = self.cross_att(x, ctx, mask=mask, return_weights=return_att)
-            ca_final = None
-        x = x + v
-
-        for i, blk in enumerate(self.decoder):
-            if use_state:
-                x, st = blk(x, reset_mask=reset_mask,
-                            initial_state=init_state.layers[self.n_layer + i],
-                            output_final_state=True, deterministic=deterministic)
-            else:
-                x, st = blk(x, reset_mask=reset_mask, deterministic=deterministic), None
-            finals.append(st)
-
-        if output_final_state:
-            return x, att, BackboneState(layers=tuple(finals), pos_net=ca_final)
-        return x, att
-
-    def step(self, y_embd, x_enc, state, mask=None, crossatt_pos=None):
-        from lina_speech_tpu.models.attentive_rnn import BackboneState
-
-        layers = list(state.layers)
-        for i, blk in enumerate(self.encoder):
-            y_embd, layers[i] = blk.step(y_embd, layers[i])
-        if self._has_stateful_crossatt:
-            v, att, pos_net_state = self.cross_att.step(
-                y_embd, x_enc, state.pos_net, mask=mask, pos=crossatt_pos
-            )
-        else:
-            v, att = self.cross_att(y_embd[:, None], x_enc, mask=mask, return_weights=True)
-            v, att, pos_net_state = v[:, 0], att[:, :, 0], None
-        y_embd = y_embd + v
-        for i, blk in enumerate(self.decoder):
-            j = self.n_layer + i
-            y_embd, layers[j] = blk.step(y_embd, layers[j])
-        return y_embd, att, BackboneState(layers=tuple(layers), pos_net=pos_net_state)
-
-    def empty_state(self, batch_size: int, dtype: Any = jnp.float32):
-        from lina_speech_tpu.models.attentive_rnn import BackboneState
-        from lina_speech_tpu.models.gla_layer import gla_empty_state
-
-        mk = lambda d: rwkv6_empty_state(batch_size, d, self.heads, dtype=dtype)
-        layers = tuple(mk(self.d_model) for _ in range(2 * self.n_layer))
-        pos_net = None
-        if self._has_stateful_crossatt:
-            d_blind = self.d_model if self.d_blind is None else self.d_blind
-            if self.blind or self.cross_att_pp:
-                pos_net = mk(d_blind)
-        return BackboneState(layers=layers, pos_net=pos_net)
+    def _layer_state(self, batch_size: int, d: int, dtype):
+        return rwkv6_empty_state(batch_size, d, self.heads, dtype=dtype)

@@ -66,7 +66,30 @@ def _variant_model(kind):
     return cfg, build_model(cfg)
 
 
-@pytest.mark.parametrize("kind", ["simple_gla", "rwkv6", "transformer"])
+def test_mamba_scan_matches_step():
+    from lina_speech_tpu.ops.mamba import selective_scan, selective_step
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 5)
+    b, t, d, n = 2, 18, 8, 4
+    x = jax.random.normal(ks[0], (b, t, d))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (b, t, d)))
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n)) * 0.3)
+    B = jax.random.normal(ks[3], (b, t, n))
+    C = jax.random.normal(ks[4], (b, t, n))
+    D = jnp.ones((d,))
+    y_par, h_par = selective_scan(x, dt, A, B, C, D)
+
+    h = jnp.zeros((b, d, n))
+    ys = []
+    for i in range(t):
+        y, h = selective_step(x[:, i], dt[:, i], A, B[:, i], C[:, i], D, h)
+        ys.append(y)
+    y_seq = jnp.stack(ys, axis=1)
+    np.testing.assert_allclose(np.asarray(y_seq), np.asarray(y_par), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_par), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("kind", ["simple_gla", "rwkv6", "transformer", "mamba"])
 def test_variant_forward_and_decode(kind):
     cfg, model = _variant_model(kind)
     b, m, n = 2, 7, 17
