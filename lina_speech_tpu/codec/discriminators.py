@@ -94,3 +94,115 @@ class MultiResolutionDiscriminator(nn.Module):
             outs.append(o)
             fmaps.append(f)
         return outs, fmaps
+
+
+def _complex_stft_chw(x: Array, n_fft: int, hop: int) -> Array:
+    """(B, T) -> (B, frames, freq, 2) real/imag channels."""
+    import numpy as np
+
+    win = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    n_frames = 1 + (xp.shape[-1] - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    spec = jnp.fft.rfft(xp[:, idx] * win, axis=-1)  # (B, frames, freq)
+    return jnp.stack([spec.real, spec.imag], axis=-1)
+
+
+class _STFTDisc(nn.Module):
+    """One scale of EnCodec's MS-STFT discriminator (msstftd.py): complex
+    STFT as 2 input channels -> dilated conv2d stack."""
+
+    n_fft: int
+    hop: int
+    filters: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, List[Array]]:
+        h = _complex_stft_chw(x, self.n_fft, self.hop)  # (B, T', F, 2)
+        fmaps = []
+        dilations = (1, 2, 4)
+        h = nn.Conv(self.filters, (3, 9), dtype=self.dtype, name="conv_pre")(h)
+        fmaps.append(h)
+        for i, dil in enumerate(dilations):
+            h = nn.leaky_relu(h, 0.1)
+            h = nn.Conv(self.filters, (3, 9), strides=(1, 2),
+                        kernel_dilation=(dil, 1), dtype=self.dtype,
+                        name=f"conv_{i}")(h)
+            fmaps.append(h)
+        h = nn.leaky_relu(h, 0.1)
+        h = nn.Conv(1, (3, 3), dtype=self.dtype, name="conv_post")(h)
+        fmaps.append(h)
+        return h.reshape(x.shape[0], -1), fmaps
+
+
+class MultiScaleSTFTDiscriminator(nn.Module):
+    """EnCodec MS-STFT discriminator (encoder/msstftd.py)."""
+
+    scales: Tuple[Tuple[int, int], ...] = ((1024, 256), (2048, 512), (512, 128))
+    filters: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array):
+        outs, fmaps = [], []
+        for n_fft, hop in self.scales:
+            o, f = _STFTDisc(n_fft, hop, self.filters, dtype=self.dtype,
+                             name=f"stft_{n_fft}")(x)
+            outs.append(o)
+            fmaps.append(f)
+        return outs, fmaps
+
+
+class _BandDisc(nn.Module):
+    """Multi-band complex-STFT sub-discriminator (DAC style,
+    decoder/discriminator_dac.py): frequency bands processed by separate
+    conv stacks, concatenated for the final head."""
+
+    n_fft: int
+    hop: int
+    bands: Tuple[Tuple[float, float], ...] = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5),
+                                              (0.5, 0.75), (0.75, 1.0))
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, List[Array]]:
+        spec = _complex_stft_chw(x, self.n_fft, self.hop)  # (B, T', F, 2)
+        F = spec.shape[2]
+        fmaps = []
+        band_outs = []
+        for bi, (lo, hi) in enumerate(self.bands):
+            h = spec[:, :, int(lo * F) : int(hi * F), :]
+            for i in range(3):
+                h = nn.Conv(32, (3, 9), strides=(1, 2) if i else (1, 1),
+                            dtype=self.dtype, name=f"band{bi}_conv{i}")(h)
+                h = nn.leaky_relu(h, 0.1)
+                fmaps.append(h)
+            band_outs.append(h)
+        h = jnp.concatenate(band_outs, axis=2)
+        h = nn.Conv(1, (3, 3), dtype=self.dtype, name="conv_post")(h)
+        fmaps.append(h)
+        return h.reshape(x.shape[0], -1), fmaps
+
+
+class DACDiscriminator(nn.Module):
+    """DAC: multi-period + multi-band complex STFT
+    (decoder/discriminator_dac.py:36-249), paired with least-squares losses
+    (losses.lsgan_*)."""
+
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    stft_resolutions: Tuple[Tuple[int, int], ...] = ((2048, 512), (1024, 256), (512, 128))
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array):
+        outs, fmaps = [], []
+        for p in self.periods:
+            o, f = _PeriodDisc(p, dtype=self.dtype, name=f"period_{p}")(x)
+            outs.append(o)
+            fmaps.append(f)
+        for n_fft, hop in self.stft_resolutions:
+            o, f = _BandDisc(n_fft, hop, dtype=self.dtype, name=f"band_{n_fft}")(x)
+            outs.append(o)
+            fmaps.append(f)
+        return outs, fmaps

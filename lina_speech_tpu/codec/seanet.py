@@ -156,3 +156,73 @@ class SEANetEncoder(nn.Module):
         x = nn.elu(x)
         x = SConv1d(self.dimension, self.last_kernel_size, dtype=self.dtype, name="conv_out")(x)
         return x
+
+
+class SConvTranspose1d(nn.Module):
+    """ConvTranspose1d with EnCodec asymmetric trim (conv.py:175-253):
+    padding_total = k - stride, trimmed right-heavy after the transpose."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, c_in, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = jax.lax.conv_transpose(
+            x, kernel.astype(self.dtype), strides=(self.stride,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        y = y + bias.astype(self.dtype)
+        padding_total = self.kernel_size - self.stride
+        right = padding_total // 2
+        left = padding_total - right
+        return y[:, left : y.shape[1] - right if right else None, :]
+
+
+class SEANetDecoder(nn.Module):
+    """Latent (B, T', dimension) -> audio (B, T' * hop) (seanet.py:147-238).
+
+    Mirror of the encoder: conv_in -> LSTM -> per-ratio [ELU, transposed
+    upsample conv, residual blocks] -> ELU -> conv_out to 1 channel.
+    """
+
+    dimension: int = 512
+    n_filters: int = 32
+    ratios: Sequence[int] = (8, 5, 4, 2)
+    n_residual_layers: int = 1
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_base: int = 2
+    compress: int = 2
+    lstm: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        mult = int(2 ** len(self.ratios))
+        x = SConv1d(mult * self.n_filters, self.kernel_size, dtype=self.dtype,
+                    name="conv_in")(z)
+        if self.lstm:
+            x = LSTMLayers(mult * self.n_filters, self.lstm, name="lstm")(x)
+        for i, ratio in enumerate(self.ratios):
+            x = nn.elu(x)
+            x = SConvTranspose1d(mult * self.n_filters // 2, kernel_size=ratio * 2,
+                                 stride=ratio, dtype=self.dtype, name=f"up_{i}")(x)
+            for j in range(self.n_residual_layers):
+                x = SEANetResnetBlock(
+                    mult * self.n_filters // 2, compress=self.compress,
+                    dilation=self.dilation_base ** j, dtype=self.dtype,
+                    name=f"res_{i}_{j}",
+                )(x)
+            mult //= 2
+        x = nn.elu(x)
+        x = SConv1d(1, self.last_kernel_size, dtype=self.dtype, name="conv_out")(x)
+        return x[..., 0]

@@ -1,0 +1,101 @@
+"""Codec/vocoder GAN training CLI (the reference's VocosExp workload,
+decoder/experiment.py:447-456): alternating disc/gen steps over audio crops.
+
+``python -m lina_speech_tpu.train.codec_cli fit --filelist files.txt`` uses
+the native C++ audio loader (data/audio_loader.py); with no filelist it
+trains on synthetic noise (pipeline smoke).
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+from typing import Iterator
+
+import jax
+import numpy as np
+
+
+def audio_batches(args) -> Iterator[np.ndarray]:
+    if args.filelist:
+        from lina_speech_tpu.data.audio_loader import make_audio_loader
+
+        paths = [l.strip() for l in open(args.filelist) if l.strip()]
+        return iter(make_audio_loader(paths, args.crop_len, args.batch_size,
+                                      seed=args.seed))
+    rng = np.random.default_rng(args.seed)
+
+    def gen():
+        while True:
+            yield rng.normal(size=(args.batch_size, args.crop_len)).astype(np.float32) * 0.1
+
+    return gen()
+
+
+def fit(args) -> None:
+    from lina_speech_tpu.codec.discriminators import (
+        MultiPeriodDiscriminator, MultiResolutionDiscriminator,
+    )
+    from lina_speech_tpu.codec.gan import (
+        CodecGanConfig, create_codec_gan, make_codec_gan_steps,
+    )
+    from lina_speech_tpu.codec.wavtokenizer import WavTokenizer, WavTokenizerConfig
+    from lina_speech_tpu.utils.checkpoint import save_checkpoint
+    from lina_speech_tpu.utils.profiling import MetricsLogger, StepTimer
+
+    wt_cfg = WavTokenizerConfig() if not args.tiny else WavTokenizerConfig(
+        ratios=(4, 2), n_filters=2, latent_dim=16, bins=64, backbone_dim=32,
+        backbone_intermediate_dim=64, backbone_layers=1, n_fft=32, hop_length=8,
+    )
+    wavtok = WavTokenizer(wt_cfg)
+    mpd = MultiPeriodDiscriminator()
+    mrd = MultiResolutionDiscriminator()
+    gan_cfg = CodecGanConfig(pretrain_mel_steps=args.pretrain_mel_steps)
+
+    data = audio_batches(args)
+    audio0 = jax.numpy.asarray(next(data))
+    state, gen_tx, disc_tx = create_codec_gan(
+        jax.random.PRNGKey(args.seed), wavtok, mpd, mrd, audio0, gan_cfg
+    )
+    disc_step, gen_step = make_codec_gan_steps(wavtok, mpd, mrd, gen_tx, disc_tx, gan_cfg)
+
+    logger = MetricsLogger(args.log_file, print_every=args.log_every)
+    timer = StepTimer()
+    for i, audio in enumerate(itertools.chain([audio0], data)):
+        if i >= args.steps:
+            break
+        audio = jax.numpy.asarray(audio)
+        with timer:
+            state, dmetrics = disc_step(state, audio)
+            state, gmetrics = gen_step(state, audio)
+        if i % args.log_every == 0:
+            logger.log(i, {**{k: float(v) for k, v in dmetrics.items()},
+                           **{k: float(v) for k, v in gmetrics.items()},
+                           "step_time_s": timer.last})
+    if args.ckpt_dir:
+        import os
+
+        save_checkpoint(os.path.abspath(args.ckpt_dir), state.gen_params, step=args.steps)
+    print(f"done: {args.steps} steps, mean step {timer.mean*1e3:.1f} ms")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lina_speech_tpu.train.codec")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    f = sub.add_parser("fit")
+    f.add_argument("--filelist", type=str, default=None)
+    f.add_argument("--steps", type=int, default=100)
+    f.add_argument("--batch-size", type=int, default=2)
+    f.add_argument("--crop-len", type=int, default=24000)
+    f.add_argument("--pretrain-mel-steps", type=int, default=0)
+    f.add_argument("--tiny", action="store_true")
+    f.add_argument("--seed", type=int, default=0)
+    f.add_argument("--ckpt-dir", type=str, default=None)
+    f.add_argument("--log-every", type=int, default=10)
+    f.add_argument("--log-file", type=str, default=None)
+    args = p.parse_args(argv)
+    if args.cmd == "fit":
+        fit(args)
+
+
+if __name__ == "__main__":
+    main()
