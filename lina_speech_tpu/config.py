@@ -45,9 +45,18 @@ class TextEncoderConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SpeakerEncoderConfig:
+    dim_inner: int = 256
+    heads: int = 4
+    n_layers: int = 6
+    window_length: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     backbone: BackboneConfig = BackboneConfig()
     text_encoder: TextEncoderConfig = TextEncoderConfig()
+    spk_encoder: Optional[SpeakerEncoderConfig] = None
     d_model: int = 1024
     quant_layer: Tuple[int, ...] = (0,)  # which codec quantizer levels (len == n_quant)
     n_codebook: int = 4096
@@ -124,6 +133,15 @@ def build_model(cfg: ModelConfig):
             blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
             pos_type=b.pos_type, dtype=dtype,
         )
+    elif b.kind == "mamba" and b.cross_att_layers:
+        from lina_speech_tpu.models.mamba import CrossAttMamba
+
+        rnn = CrossAttMamba(
+            d_model=b.d_model, n_layer=b.n_layer,
+            cross_att_layers=tuple(b.cross_att_layers), heads=b.heads,
+            dropout_att=b.dropout_att, dropout=b.dropout, rotary=b.rotary,
+            dtype=dtype,
+        )
     elif b.kind == "mamba":
         from lina_speech_tpu.models.mamba import AttentiveMamba
 
@@ -149,6 +167,15 @@ def build_model(cfg: ModelConfig):
         dim=te.dim, heads=te.heads, n_layers=te.n_layers, dropout=te.dropout,
         rotary=te.rotary, dtype=dtype,
     )
+    spk_encoder = None
+    if cfg.spk_encoder is not None:
+        from lina_speech_tpu.models.encoder import SimpleSpeakerEncoder
+
+        se = cfg.spk_encoder
+        spk_encoder = SimpleSpeakerEncoder(
+            dim=cfg.d_model, dim_inner=se.dim_inner, heads=se.heads,
+            n_layers=se.n_layers, window_length=se.window_length, dtype=dtype,
+        )
     return LinaModel(
         attentive_rnn=rnn,
         d_model=cfg.d_model,
@@ -159,9 +186,17 @@ def build_model(cfg: ModelConfig):
         n_txt_vocab_base=cfg.n_txt_vocab,
         tie_embed=cfg.tie_embed,
         txt_encoder=txt_encoder,
+        spk_encoder=spk_encoder,
         mask_text_p=cfg.mask_text_p,
         dtype=dtype,
     )
+
+
+_NESTED_CONFIGS = {
+    "backbone": BackboneConfig,
+    "text_encoder": TextEncoderConfig,
+    "spk_encoder": SpeakerEncoderConfig,
+}
 
 
 def _dataclass_from_dict(cls, d: Dict[str, Any]):
@@ -170,8 +205,9 @@ def _dataclass_from_dict(cls, d: Dict[str, Any]):
     for k, v in d.items():
         if k not in fields:
             raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
-        t = fields[k].type
-        if dataclasses.is_dataclass(fields[k].default.__class__) and isinstance(v, dict):
+        if isinstance(v, dict) and k in _NESTED_CONFIGS:
+            kwargs[k] = _dataclass_from_dict(_NESTED_CONFIGS[k], v)
+        elif isinstance(v, dict) and dataclasses.is_dataclass(fields[k].default.__class__):
             kwargs[k] = _dataclass_from_dict(fields[k].default.__class__, v)
         elif isinstance(v, list):
             kwargs[k] = tuple(v)

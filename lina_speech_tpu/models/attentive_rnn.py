@@ -302,9 +302,11 @@ class AttentiveGLA(EncoderCrossDecoder):
         return state.replace(layers=tuple(layers))
 
 
-class CrossAttGLA(nn.Module):
-    """Single GLA stack with cross-attention interleaved at given layer
-    indices (reference gla.py:367-420)."""
+class InterleavedCrossAtt(nn.Module):
+    """Single mixer stack with cross-attention interleaved at given layer
+    indices (reference gla.py:367-477 CrossAttGLA(V2),
+    mamba.py:115-257 CrossAttMamba(V2)). Attention maps from the layers are
+    concatenated over the head axis (the V2 behavior)."""
 
     d_model: int
     n_layer: int
@@ -314,18 +316,16 @@ class CrossAttGLA(nn.Module):
     dropout_att: float = 0.0
     dropout: float = 0.0
     rotary: bool = False
-    use_short_conv: bool = False
-    expand_k: float = 1.0
-    expand_v: float = 2.0
-    chunk_size: int = 64
     dtype: Any = jnp.float32
 
+    def _block(self, d: int) -> nn.Module:
+        raise NotImplementedError
+
+    def _layer_state(self, batch_size: int, d: int, dtype: Any):
+        raise NotImplementedError
+
     def setup(self):
-        self.blocks = [
-            _gla_block(self.d_model, self.heads, self.use_short_conv, self.expand_k,
-                       self.expand_v, self.dropout, self.chunk_size, self.dtype)
-            for _ in range(self.n_layer)
-        ]
+        self.blocks = [self._block(self.d_model) for _ in range(self.n_layer)]
         self.cross_att = [
             CrossAttention(self.d_model, self.d_model, self.d_model,
                            self.cross_att_heads, rotary=self.rotary, dtype=self.dtype)
@@ -340,7 +340,7 @@ class CrossAttGLA(nn.Module):
         if init_state is None and use_state:
             init_state = self.empty_state(x.shape[0])
         idx = {k: i for i, k in enumerate(self.cross_att_layers)}
-        att = None
+        atts = []
         final_layers = []
         for i, blk in enumerate(self.blocks):
             if use_state:
@@ -353,6 +353,9 @@ class CrossAttGLA(nn.Module):
             if i in idx:
                 v, att = self.cross_att[idx[i]](x, ctx, mask=mask, return_weights=return_att)
                 x = x + v
+                if att is not None:
+                    atts.append(att)
+        att = jnp.concatenate(atts, axis=1) if atts else None
         if output_final_state:
             return x, att, BackboneState(layers=tuple(final_layers))
         return x, att
@@ -373,11 +376,23 @@ class CrossAttGLA(nn.Module):
 
     def empty_state(self, batch_size: int, dtype: Any = jnp.float32) -> BackboneState:
         return BackboneState(
-            layers=tuple(
-                gla_empty_state(
-                    batch_size, self.d_model, self.heads, self.expand_k,
-                    self.expand_v, self.use_short_conv, False, 4, dtype,
-                )
-                for _ in range(self.n_layer)
-            )
+            layers=tuple(self._layer_state(batch_size, self.d_model, dtype)
+                         for _ in range(self.n_layer))
+        )
+
+
+class CrossAttGLA(InterleavedCrossAtt):
+    use_short_conv: bool = False
+    expand_k: float = 1.0
+    expand_v: float = 2.0
+    chunk_size: int = 64
+
+    def _block(self, d: int) -> MixingBlock:
+        return _gla_block(d, self.heads, self.use_short_conv, self.expand_k,
+                          self.expand_v, self.dropout, self.chunk_size, self.dtype)
+
+    def _layer_state(self, batch_size: int, d: int, dtype: Any) -> GLAState:
+        return gla_empty_state(
+            batch_size, d, self.heads, self.expand_k, self.expand_v,
+            self.use_short_conv, False, 4, dtype,
         )

@@ -21,7 +21,10 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from lina_speech_tpu.models.attentive_rnn import EncoderCrossDecoder
+from lina_speech_tpu.models.attentive_rnn import (
+    EncoderCrossDecoder,
+    InterleavedCrossAtt,
+)
 from lina_speech_tpu.models.base_blocks import MixingBlock, SwiGLU
 from lina_speech_tpu.ops.mamba import selective_scan, selective_step
 from lina_speech_tpu.ops.short_conv import causal_depthwise_conv, short_conv_step
@@ -130,6 +133,27 @@ class MambaMixer(nn.Module):
 class AttentiveMamba(EncoderCrossDecoder):
     """Encoder -> cross-attention -> decoder with Mamba mixers
     (reference model/mamba.py:20-113)."""
+
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+
+    def _block(self, d: int) -> MixingBlock:
+        return MixingBlock(
+            tmix=MambaMixer(d_model=d, d_state=self.d_state, d_conv=self.d_conv,
+                            expand=self.expand, dtype=self.dtype),
+            cmix=SwiGLU(d, dtype=self.dtype),
+            dropout=self.dropout,
+        )
+
+    def _layer_state(self, batch_size: int, d: int, dtype: Any) -> MambaState:
+        return mamba_empty_state(batch_size, d, self.expand, self.d_state,
+                                 self.d_conv, dtype)
+
+
+class CrossAttMamba(InterleavedCrossAtt):
+    """Single Mamba stack with interleaved cross-attention
+    (reference model/mamba.py:115-257, CrossAttMamba / CrossAttMambaV2)."""
 
     d_state: int = 16
     d_conv: int = 4

@@ -50,7 +50,7 @@ def test_rwkv6_chunk_with_initial_state_and_resets():
 
 
 # ---------------- model-level variants ----------------
-def _variant_model(kind):
+def _variant_model(kind, interleaved=False):
     import dataclasses
     from lina_speech_tpu.config import lina_gla_tiny, build_model
 
@@ -59,8 +59,8 @@ def _variant_model(kind):
         cfg,
         backbone=dataclasses.replace(
             cfg.backbone, kind=kind,
-            cross_att_layers=(1,) if kind == "transformer" else (),
-            blind=kind != "transformer",
+            cross_att_layers=(1,) if (kind == "transformer" or interleaved) else (),
+            blind=not (kind == "transformer" or interleaved),
         ),
     )
     return cfg, build_model(cfg)
@@ -89,9 +89,12 @@ def test_mamba_scan_matches_step():
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_par), rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("kind", ["simple_gla", "rwkv6", "transformer", "mamba"])
-def test_variant_forward_and_decode(kind):
-    cfg, model = _variant_model(kind)
+@pytest.mark.parametrize("kind,interleaved", [
+    ("simple_gla", False), ("rwkv6", False), ("transformer", False),
+    ("mamba", False), ("gla", True), ("mamba", True),
+])
+def test_variant_forward_and_decode(kind, interleaved):
+    cfg, model = _variant_model(kind, interleaved)
     b, m, n = 2, 7, 17
     key = jax.random.PRNGKey(0)
     x = jax.random.randint(key, (b, m), 3, 256)
