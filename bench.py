@@ -21,10 +21,16 @@ def main():
     text_len = int(os.environ.get("BENCH_TEXT_LEN", "32"))
     codec_hz = 75.0
 
+    import dataclasses
+
     from lina_speech_tpu.config import lina_gla_169m, build_model
     from lina_speech_tpu.generate import generate_batch
 
     cfg = lina_gla_169m(compute_dtype="bfloat16")
+    state_dtype = os.environ.get("BENCH_STATE_DTYPE", "bfloat16")
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, state_dtype=state_dtype)
+    )
     model = build_model(cfg)
 
     key = jax.random.PRNGKey(0)
@@ -66,6 +72,7 @@ def main():
                     "seconds": round(dt, 3),
                     "codec_tokens_per_sec_per_stream": round(tokens_per_sec_per_stream, 1),
                     "codec_tokens_per_sec_total": round(batch * tokens_per_sec_per_stream, 1),
+                    "state_dtype": state_dtype,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -33,6 +33,7 @@ class BackboneConfig:
     chunk_size: int = 64
     remat: bool = False
     cross_att_layers: Tuple[int, ...] = ()  # for the interleaved CrossAttGLA variant
+    state_dtype: str = "float32"  # "bfloat16" halves decode HBM traffic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +98,7 @@ def build_model(cfg: ModelConfig):
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     b = cfg.backbone
+    state_dtype = jnp.bfloat16 if b.state_dtype == "bfloat16" else jnp.float32
     if b.kind == "gla" and not b.cross_att_layers:
         rnn = AttentiveGLA(
             d_model=b.d_model, n_layer=b.n_layer, heads=b.heads,
@@ -104,7 +106,7 @@ def build_model(cfg: ModelConfig):
             blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
             use_short_conv=b.use_short_conv, expand_k=b.expand_k,
             expand_v=b.expand_v, pos_type=b.pos_type, chunk_size=b.chunk_size,
-            remat=b.remat, dtype=dtype,
+            remat=b.remat, dtype=dtype, state_dtype=state_dtype,
         )
     elif b.kind == "gla":
         rnn = CrossAttGLA(

@@ -91,6 +91,7 @@ class EncoderCrossDecoder(nn.Module):
     pos_type: str = "sinusoidal"
     remat: bool = False
     dtype: Any = jnp.float32
+    state_dtype: Any = jnp.float32  # bf16 halves decode HBM traffic
 
     # ---- subclass hooks ----
     def _block(self, d: int) -> nn.Module:
@@ -255,7 +256,7 @@ class AttentiveGLA(EncoderCrossDecoder):
     def _layer_state(self, batch_size: int, d: int, dtype: Any) -> GLAState:
         return gla_empty_state(
             batch_size, d, self.heads, self.expand_k, self.expand_v,
-            self.use_short_conv, False, 4, dtype,
+            self.use_short_conv, False, 4, dtype, state_dtype=self.state_dtype,
         )
 
     # ---------- initial-state tuning (speaker adaptation) ----------
@@ -317,6 +318,7 @@ class InterleavedCrossAtt(nn.Module):
     dropout: float = 0.0
     rotary: bool = False
     dtype: Any = jnp.float32
+    state_dtype: Any = jnp.float32
 
     def _block(self, d: int) -> nn.Module:
         raise NotImplementedError
@@ -394,5 +396,5 @@ class CrossAttGLA(InterleavedCrossAtt):
     def _layer_state(self, batch_size: int, d: int, dtype: Any) -> GLAState:
         return gla_empty_state(
             batch_size, d, self.heads, self.expand_k, self.expand_v,
-            self.use_short_conv, False, 4, dtype,
+            self.use_short_conv, False, 4, dtype, state_dtype=self.state_dtype,
         )

@@ -56,15 +56,19 @@ def gla_empty_state(
     share_conv_kernel: bool = False,
     conv_size: int = 4,
     dtype: Any = jnp.float32,
+    state_dtype: Any = jnp.float32,
 ) -> GLAState:
-    """Zero decode state for one GLA layer (reference gla.py:229-240)."""
+    """Zero decode state for one GLA layer (reference gla.py:229-240).
+
+    ``state_dtype=bfloat16`` halves decode HBM traffic (the dominant cost at
+    large batch); update math stays fp32 either way."""
     key_dim = int(hidden_size * expand_k)
     value_dim = int(hidden_size * expand_v)
     z = lambda *shape: jnp.zeros(shape, dtype)
     state = GLAState(
         s=jnp.zeros(
             (batch_size, num_heads, key_dim // num_heads, value_dim // num_heads),
-            jnp.float32,
+            state_dtype,
         )
     )
     if use_short_conv:

@@ -40,10 +40,11 @@ class MambaState:
 
 def mamba_empty_state(batch_size: int, d_model: int, expand: int = 2,
                       d_state: int = 16, d_conv: int = 4,
-                      dtype: Any = jnp.float32) -> MambaState:
+                      dtype: Any = jnp.float32,
+                      state_dtype: Any = jnp.float32) -> MambaState:
     d_inner = expand * d_model
     return MambaState(
-        h=jnp.zeros((batch_size, d_inner, d_state), jnp.float32),
+        h=jnp.zeros((batch_size, d_inner, d_state), state_dtype),
         conv=jnp.zeros((batch_size, d_inner, d_conv), dtype),
     )
 
@@ -148,7 +149,7 @@ class AttentiveMamba(EncoderCrossDecoder):
 
     def _layer_state(self, batch_size: int, d: int, dtype: Any) -> MambaState:
         return mamba_empty_state(batch_size, d, self.expand, self.d_state,
-                                 self.d_conv, dtype)
+                                 self.d_conv, dtype, state_dtype=self.state_dtype)
 
 
 class CrossAttMamba(InterleavedCrossAtt):
@@ -169,4 +170,4 @@ class CrossAttMamba(InterleavedCrossAtt):
 
     def _layer_state(self, batch_size: int, d: int, dtype: Any) -> MambaState:
         return mamba_empty_state(batch_size, d, self.expand, self.d_state,
-                                 self.d_conv, dtype)
+                                 self.d_conv, dtype, state_dtype=self.state_dtype)

@@ -38,11 +38,12 @@ class RWKV6State:
 
 def rwkv6_empty_state(batch_size: int, hidden_size: int, num_heads: int,
                       expand_k: float = 1.0, expand_v: float = 1.0,
-                      dtype: Any = jnp.float32) -> RWKV6State:
+                      dtype: Any = jnp.float32,
+                      state_dtype: Any = jnp.float32) -> RWKV6State:
     dk = int(hidden_size * expand_k) // num_heads
     dv = int(hidden_size * expand_v) // num_heads
     return RWKV6State(
-        s=jnp.zeros((batch_size, num_heads, dk, dv), jnp.float32),
+        s=jnp.zeros((batch_size, num_heads, dk, dv), state_dtype),
         shift=jnp.zeros((batch_size, hidden_size), dtype),
     )
 
@@ -198,4 +199,5 @@ class AttentiveRWKV6(EncoderCrossDecoder):
         )
 
     def _layer_state(self, batch_size: int, d: int, dtype):
-        return rwkv6_empty_state(batch_size, d, self.heads, dtype=dtype)
+        return rwkv6_empty_state(batch_size, d, self.heads, dtype=dtype,
+                                 state_dtype=self.state_dtype)

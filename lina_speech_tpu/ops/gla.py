@@ -63,8 +63,10 @@ def gla_scan_ref(
     scale = _default_scale(q, scale)
     b, h, t, dk = q.shape
     dv = v.shape[-1]
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
     if initial_state is None:
         initial_state = jnp.zeros((b, h, dk, dv), dtype=jnp.float32)
+    initial_state = initial_state.astype(jnp.float32)
 
     qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, gk))
 
@@ -77,7 +79,7 @@ def gla_scan_ref(
     xs = tuple(jnp.moveaxis(x, 2, 0) for x in (qf, kf, vf, gf))
     final_state, o = jax.lax.scan(step, initial_state, xs)
     o = jnp.moveaxis(o, 0, 2)
-    return o.astype(q.dtype), final_state
+    return o.astype(q.dtype), final_state.astype(state_dtype)
 
 
 def gla_decode_step(
@@ -97,10 +99,11 @@ def gla_decode_step(
         o: (b, h, d_v); new_state: (b, h, d_k, d_v) fp32.
     """
     scale = _default_scale(q, scale)
+    out_dtype = state.dtype  # bf16 state storage supported; math in fp32
     qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, gk))
-    state = jnp.exp(gf)[..., None] * state + kf[..., None] * vf[..., None, :]
+    state = jnp.exp(gf)[..., None] * state.astype(jnp.float32) + kf[..., None] * vf[..., None, :]
     o = jnp.einsum("bhk,bhkv->bhv", qf * scale, state)
-    return o.astype(q.dtype), state
+    return o.astype(q.dtype), state.astype(out_dtype)
 
 
 def gla_chunk(
@@ -139,8 +142,10 @@ def gla_chunk(
     T = t + pad
     nc = T // C
 
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
     if initial_state is None:
         initial_state = jnp.zeros((b, h, dk, dv), dtype=jnp.float32)
+    initial_state = initial_state.astype(jnp.float32)
 
     # (b, h, nc, C, d)
     qf = (q.astype(jnp.float32) * scale).reshape(b, h, nc, C, dk)
@@ -210,4 +215,4 @@ def gla_chunk(
 
     o = o_inter + (o_diag + o_off).reshape(b, h, nc, C, dv)
     o = o.reshape(b, h, T, dv)[:, :, :t]
-    return o.astype(q.dtype), final_state
+    return o.astype(q.dtype), final_state.astype(state_dtype)

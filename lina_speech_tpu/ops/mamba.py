@@ -59,16 +59,18 @@ def selective_scan(
     if initial_state is not None:
         h = h[:, 1:]
     y = jnp.einsum("btdn,btn->btd", h, Cf) + xf * D.astype(jnp.float32)[None, None]
-    return y.astype(x.dtype), h[:, -1]
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
+    return y.astype(x.dtype), h[:, -1].astype(state_dtype)
 
 
 def selective_step(
     x: Array, dt: Array, A: Array, B: Array, C: Array, D: Array, state: Array
 ) -> Tuple[Array, Array]:
     """One token. x/dt: (b, d); B/C: (b, n); state: (b, d, n)."""
+    out_dtype = state.dtype
     xf, dtf = x.astype(jnp.float32), dt.astype(jnp.float32)
     dA = jnp.exp(dtf[..., None] * A.astype(jnp.float32)[None])
     dBx = (dtf * xf)[..., None] * B.astype(jnp.float32)[:, None, :]
-    state = dA * state + dBx
+    state = dA * state.astype(jnp.float32) + dBx
     y = jnp.einsum("bdn,bn->bd", state, C.astype(jnp.float32)) + xf * D.astype(jnp.float32)[None]
-    return y.astype(x.dtype), state
+    return y.astype(x.dtype), state.astype(out_dtype)

@@ -32,8 +32,10 @@ def rwkv6_scan_ref(
     """Naive O(T) scan. r/k/w: (b, h, t, dk); v: (b, h, t, dv); u: (h, dk)."""
     b, h, t, dk = r.shape
     dv = v.shape[-1]
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
     if initial_state is None:
         initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
+    initial_state = initial_state.astype(jnp.float32)
     rf, kf, vf, wf = (x.astype(jnp.float32) for x in (r, k, v, w))
     uf = u.astype(jnp.float32)
 
@@ -46,18 +48,20 @@ def rwkv6_scan_ref(
 
     xs = tuple(jnp.moveaxis(x, 2, 0) for x in (rf, kf, vf, wf))
     final, o = jax.lax.scan(step, initial_state, xs)
-    return jnp.moveaxis(o, 0, 2).astype(r.dtype), final
+    return jnp.moveaxis(o, 0, 2).astype(r.dtype), final.astype(state_dtype)
 
 
 def rwkv6_decode_step(
     r: Array, k: Array, v: Array, w: Array, u: Array, state: Array,
 ) -> Tuple[Array, Array]:
     """One token. r/k/w: (b, h, dk); v: (b, h, dv); u: (h, dk)."""
+    out_dtype = state.dtype
     rf, kf, vf, wf = (x.astype(jnp.float32) for x in (r, k, v, w))
+    sf = state.astype(jnp.float32)
     kv = kf[..., None] * vf[..., None, :]
-    o = jnp.einsum("bhk,bhkv->bhv", rf, state + u.astype(jnp.float32)[None, :, :, None] * kv)
-    state = jnp.exp(wf)[..., None] * state + kv
-    return o.astype(r.dtype), state
+    o = jnp.einsum("bhk,bhkv->bhv", rf, sf + u.astype(jnp.float32)[None, :, :, None] * kv)
+    sf = jnp.exp(wf)[..., None] * sf + kv
+    return o.astype(r.dtype), sf.astype(out_dtype)
 
 
 def rwkv6_chunk(
@@ -86,8 +90,10 @@ def rwkv6_chunk(
     T = t + pad
     nc = T // C
 
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
     if initial_state is None:
         initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
+    initial_state = initial_state.astype(jnp.float32)
 
     rf = r.astype(jnp.float32).reshape(b, h, nc, C, dk)
     kf = k.astype(jnp.float32).reshape(b, h, nc, C, dk)
@@ -150,4 +156,4 @@ def rwkv6_chunk(
 
     o = o_inter + (o_diag + o_bonus + o_off).reshape(b, h, nc, C, dv)
     o = o.reshape(b, h, T, dv)[:, :, :t]
-    return o.astype(r.dtype), final_state
+    return o.astype(r.dtype), final_state.astype(state_dtype)

@@ -98,6 +98,24 @@ def test_chunk_grads_match_scan_grads():
         np.testing.assert_allclose(np.asarray(gc), np.asarray(gs), rtol=5e-4, atol=5e-4)
 
 
+def test_bf16_state_storage_decode():
+    """bf16 recurrent-state storage: decode stays close to fp32 over ~30
+    steps (math is fp32 either way; only storage rounds)."""
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(9), b=1, h=2, t=30, dk=16, dv=24)
+    s32 = jnp.zeros((1, 2, 16, 24), jnp.float32)
+    s16 = jnp.zeros((1, 2, 16, 24), jnp.bfloat16)
+    o32, o16 = [], []
+    for i in range(30):
+        a, s32 = gla_decode_step(q[:, :, i], k[:, :, i], v[:, :, i], gk[:, :, i], s32)
+        b_, s16 = gla_decode_step(q[:, :, i], k[:, :, i], v[:, :, i], gk[:, :, i], s16)
+        o32.append(a)
+        o16.append(b_)
+    assert s16.dtype == jnp.bfloat16
+    diff = jnp.abs(jnp.stack(o32) - jnp.stack(o16)).max()
+    scale = jnp.abs(jnp.stack(o32)).max()
+    assert float(diff) / float(scale) < 0.05
+
+
 def test_bf16_io_fp32_state():
     q, k, v, gk = make_inputs(jax.random.PRNGKey(5), t=64, dtype=jnp.bfloat16)
     o, s = gla_chunk(q, k, v, gk, chunk_size=32)
