@@ -317,7 +317,16 @@ class GatedLinearAttention(nn.Module):
         gk = self._raw_gates(h_t)
 
         hsplit = lambda z, d: z.reshape(b, self.num_heads, d)
-        o, s = gla_decode_step(
+        if jax.default_backend() == "tpu":
+            # fused single-pass kernel: one state read + one write (the
+            # unfused XLA lowering reads the state ~3x; state traffic IS the
+            # decode cost at large batch)
+            from lina_speech_tpu.ops.gla_pallas import gla_decode_fused
+
+            step_fn = gla_decode_fused
+        else:
+            step_fn = gla_decode_step
+        o, s = step_fn(
             hsplit(q, self.head_qk_dim),
             hsplit(k, self.head_qk_dim),
             hsplit(v, self.head_v_dim),

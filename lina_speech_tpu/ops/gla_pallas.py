@@ -172,3 +172,81 @@ def gla_chunk_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret)
+
+
+# ---------------------------------------------------------------- decode
+_BH_BLK = 8  # rows of (batch*heads) per program; satisfies sublane tiling
+
+
+def _decode_kernel(q_ref, k_ref, v_ref, g_ref, s_ref, o_ref, s_out_ref, *,
+                   scale: float):
+    """Single-pass fused decode: one state read + one state write.
+
+    XLA's lowering of the unfused step reads the state ~3x (update read,
+    update write, readout read); at decode time the state IS the bandwidth
+    bill (25 layers x (b, h, 256, 512)), so one pass is ~2x. Processes
+    _BH_BLK (batch*head) rows per program.
+    """
+    g = g_ref[:].astype(jnp.float32)  # (BLK, dk)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)  # (BLK, dv)
+    q = q_ref[:].astype(jnp.float32) * scale
+    S = s_ref[:].astype(jnp.float32)  # (BLK, dk, dv)
+    S = jnp.exp(g)[:, :, None] * S + k[:, :, None] * v[:, None, :]
+    o_ref[:] = jnp.sum(q[:, :, None] * S, axis=1).astype(o_ref.dtype)
+    s_out_ref[:] = S.astype(s_out_ref.dtype)
+
+
+def gla_decode_fused(
+    q: Array, k: Array, v: Array, gk: Array, state: Array,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    donate: bool = True,
+) -> Tuple[Array, Array]:
+    """Fused single-token GLA step (drop-in for ops.gla.gla_decode_step).
+
+    q/k/gk: (b, h, dk); v: (b, h, dv); state: (b, h, dk, dv) any float dtype
+    (bf16 halves the traffic). The state buffer is aliased in-place.
+    """
+    b, h, dk = q.shape
+    dv = v.shape[-1]
+    if scale is None:
+        scale = dk ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bh = b * h
+    pad = (-bh) % _BH_BLK
+    q2, k2, g2 = (x.reshape(bh, dk) for x in (q, k, gk))
+    v2 = v.reshape(bh, dv)
+    s2 = state.reshape(bh, dk, dv)
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        q2, k2, g2, v2, s2 = pz(q2), pz(k2), pz(g2), pz(v2), pz(s2)
+    BH = bh + pad
+
+    o, s_new = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale),
+        grid=(BH // _BH_BLK,),
+        in_specs=[
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dv), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BH_BLK, dv), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, dv), q.dtype),
+            jax.ShapeDtypeStruct((BH, dk, dv), state.dtype),
+        ],
+        input_output_aliases={4: 1} if donate else {},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(q2, k2, v2, g2, s2)
+    o = o[:bh].reshape(b, h, dv)
+    return o, s_new[:bh].reshape(b, h, dk, dv)

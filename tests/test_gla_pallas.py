@@ -46,6 +46,32 @@ def test_pallas_grads_match_xla_path():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
 
 
+def test_fused_decode_matches_reference():
+    from lina_speech_tpu.ops.gla import gla_decode_step
+    from lina_speech_tpu.ops.gla_pallas import gla_decode_fused
+
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(4), b=2, h=2, t=8, dk=32, dv=64)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        state_a = jnp.zeros((2, 2, 32, 64), dtype)
+        state_b = jnp.zeros((2, 2, 32, 64), dtype)
+        for i in range(8):
+            o_a, state_a = gla_decode_step(q[:, :, i], k[:, :, i], v[:, :, i],
+                                           gk[:, :, i], state_a)
+            o_b, state_b = gla_decode_fused(q[:, :, i], k[:, :, i], v[:, :, i],
+                                            gk[:, :, i], state_b, interpret=True,
+                                            donate=False)
+            np.testing.assert_allclose(
+                np.asarray(o_a, np.float32), np.asarray(o_b, np.float32),
+                rtol=5e-2 if dtype == jnp.bfloat16 else 2e-5,
+                atol=5e-2 if dtype == jnp.bfloat16 else 2e-5,
+            )
+        tol = 1e-2 if dtype == jnp.bfloat16 else 1e-5  # bf16: one-ulp ties
+        np.testing.assert_allclose(
+            np.asarray(state_a, np.float32), np.asarray(state_b, np.float32),
+            rtol=tol, atol=tol,
+        )
+
+
 def test_pallas_bf16_io():
     q, k, v, gk = make_inputs(jax.random.PRNGKey(3), t=64, dk=32, dv=64, dtype=jnp.bfloat16)
     o, s = gla_chunk_pallas(q, k, v, gk, chunk_size=32, interpret=True)
