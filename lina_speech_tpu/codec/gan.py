@@ -41,6 +41,24 @@ class CodecGanConfig:
     fm_coeff: float = 1.0
     pretrain_mel_steps: int = 0
     sample_rate: int = 24000
+    # cosine mel-coefficient decay (reference experiment.py:324-335)
+    decay_mel_coeff: bool = False
+    num_warmup_steps: int = 0
+    max_steps: int = 1_000_000
+
+
+def mel_coeff_at(config: CodecGanConfig, step) -> jnp.ndarray:
+    """base * cosine decay after warmup (experiment.py mel_loss_coeff_decay)."""
+    if not config.decay_mel_coeff:
+        return jnp.asarray(config.mel_coeff, jnp.float32)
+    import math
+
+    step = jnp.asarray(step, jnp.float32)
+    progress = (step - config.num_warmup_steps) / max(
+        1, config.max_steps - config.num_warmup_steps
+    )
+    decay = jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(math.pi * jnp.clip(progress, 0.0, 1.0))))
+    return jnp.where(step < config.num_warmup_steps, 1.0, decay) * config.mel_coeff
 
 
 @flax.struct.dataclass
@@ -116,7 +134,7 @@ def make_codec_gan_steps(wavtok: WavTokenizer, mpd: MultiPeriodDiscriminator,
                 fm_r_mrd, fm_f_mrd
             )
             adv = jnp.where(pretrain, 0.0, l_gen + config.fm_coeff * l_fm)
-            total = adv + config.mel_coeff * l_mel
+            total = adv + mel_coeff_at(config, state.step) * l_mel
             return total, {"mel_loss": l_mel, "gen_adv": l_gen, "fm_loss": l_fm}
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
