@@ -16,6 +16,13 @@ import jax.numpy as jnp
 
 
 def main():
+    # persistent compile cache: the remote-TPU compile path is slow; cache
+    # compiled executables across runs
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "256"))
     text_len = int(os.environ.get("BENCH_TEXT_LEN", "32"))
