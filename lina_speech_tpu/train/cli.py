@@ -34,6 +34,22 @@ def build_data(data_cfg: Dict[str, Any], model_cfg,
             max_audio_len=int(data_cfg.get("max_audio_len", 256)),
             seed=int(data_cfg.get("seed", 0)),
         )
+    if kind == "npz":
+        from lina_speech_tpu.data.dataset import (
+            LengthBucketSampler, TokenizedTTSDataset, tts_data_loader,
+        )
+        from lina_speech_tpu.data.tokenizer import TextTokenizer
+
+        ds = TokenizedTTSDataset(npz_paths=data_cfg["npz_paths"])
+        sampler = LengthBucketSampler(
+            ds.lengths(),
+            max_tokens=int(data_cfg.get("max_tokens", 8192)),
+            max_batch_size=batch_size,
+            seed=int(data_cfg.get("seed", 0)),
+        )
+        tok = TextTokenizer(data_cfg.get("tokenizer_file"))
+        return tts_data_loader(ds, tok, sampler,
+                               n_special=model_cfg.n_special_token_in)
     raise ValueError(f"unknown data kind {kind!r}")
 
 
