@@ -85,8 +85,26 @@ def fit(args) -> None:
     )
     if args.load_weights:
         params = restore_checkpoint(args.load_weights, params)
+    start_step = 0
+    if args.resume and args.ckpt_dir and os.path.isdir(args.ckpt_dir):
+        steps = sorted(
+            int(d.split("_")[1]) for d in os.listdir(args.ckpt_dir)
+            if d.startswith("step_")
+        )
+        if steps:
+            start_step = steps[-1]
+            params = restore_checkpoint(
+                os.path.abspath(f"{args.ckpt_dir}/step_{start_step}"), params
+            )
+            print(f"resumed from step {start_step}")
     params = shard_params(params, mesh)
     state = create_train_state(model, params, train_cfg)
+    if args.ckpt_dir:
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        if args.config:
+            import shutil
+
+            shutil.copy(args.config, os.path.join(args.ckpt_dir, "config.yaml"))
     train_step = make_train_step(model)
     eval_step = make_eval_step(model)
 
@@ -94,7 +112,7 @@ def fit(args) -> None:
     timer = StepTimer()
     rng = jax.random.PRNGKey(args.seed + 1)
 
-    for step_idx in range(train_cfg.n_training_steps):
+    for step_idx in range(start_step, train_cfg.n_training_steps):
         batch = shard_batch(next(data) if step_idx else batch0, mesh)
         with timer:
             state, metrics = train_step(state, batch, rng)
@@ -126,6 +144,8 @@ def main(argv=None):
     f.add_argument("--tp", type=int, default=1)
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--load-weights", type=str, default=None)
+    f.add_argument("--resume", action="store_true",
+                   help="resume from the latest step_* in --ckpt-dir")
     f.add_argument("--ckpt-dir", type=str, default=None)
     f.add_argument("--ckpt-every", type=int, default=1000)
     f.add_argument("--eval-every", type=int, default=0)
