@@ -115,6 +115,9 @@ class LinaModel(nn.Module):
             y_embd = y_embd.at[:, 0].set(spk)
 
         ca_mask = crossatt_mask[:, :-1] if crossatt_mask is not None else None
+        # the backbone consumes y[:, :-1]; align per-position masks with it
+        if reset_mask is not None and reset_mask.shape[1] == y.shape[1]:
+            reset_mask = reset_mask[:, :-1]
         out = self.attentive_rnn(
             y_embd[:, :-1, :], x_enc, mask=ca_mask, reset_mask=reset_mask,
             init_state=init_state, crossatt_pos=crossatt_pos,
