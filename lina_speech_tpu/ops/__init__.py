@@ -17,3 +17,9 @@ from lina_speech_tpu.ops.short_conv import (
     causal_depthwise_conv,
     short_conv_step,
 )
+from lina_speech_tpu.ops.rwkv6 import (
+    rwkv6_chunk,
+    rwkv6_decode_step,
+    rwkv6_scan_ref,
+)
+from lina_speech_tpu.ops.mamba import selective_scan, selective_step

@@ -66,6 +66,22 @@ def _variant_model(kind, interleaved=False):
     return cfg, build_model(cfg)
 
 
+def test_rwkv6_chunk_grads_match_scan():
+    r, k, v, w, u = rwkv_inputs(jax.random.PRNGKey(6), b=1, h=1, t=24, dk=8, dv=8)
+
+    def mk_loss(fn):
+        def loss(r, k, v, w, u):
+            o, s = fn(r, k, v, w, u)
+            return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+        return loss
+
+    g_chunk = jax.grad(mk_loss(lambda *a: rwkv6_chunk(*a, chunk_size=8, subchunk_size=4)),
+                       argnums=(0, 1, 2, 3, 4))(r, k, v, w, u)
+    g_scan = jax.grad(mk_loss(rwkv6_scan_ref), argnums=(0, 1, 2, 3, 4))(r, k, v, w, u)
+    for gc, gs in zip(g_chunk, g_scan):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gs), rtol=1e-3, atol=1e-3)
+
+
 def test_mamba_scan_matches_step():
     from lina_speech_tpu.ops.mamba import selective_scan, selective_step
 
