@@ -105,7 +105,7 @@ def fit(args) -> None:
             import shutil
 
             shutil.copy(args.config, os.path.join(args.ckpt_dir, "config.yaml"))
-    train_step = make_train_step(model)
+    train_step = make_train_step(model, grad_accum_steps=train_cfg.grad_accum_steps)
     eval_step = make_eval_step(model)
 
     logger = MetricsLogger(args.log_file, print_every=args.log_every)

@@ -34,6 +34,10 @@ class TrainConfig:
     n_training_steps: int = 300_000
     grad_clip: Optional[float] = None
     accuracy_top_k: int = 10
+    # micro-batching: batch axis is split into this many sequential chunks
+    # (activation memory / grad_accum_steps; Lightning's
+    # accumulate_grad_batches equivalent)
+    grad_accum_steps: int = 1
 
 
 def cosine_schedule_with_warmup(
@@ -101,18 +105,51 @@ def _loss_and_metrics(model: LinaModel, params, batch: Dict[str, Any],
     return loss, metrics
 
 
-def make_train_step(model: LinaModel, donate: bool = True) -> Callable:
+def make_train_step(model: LinaModel, donate: bool = True,
+                    grad_accum_steps: int = 1) -> Callable:
     """Build the jitted train step. Shard state/batch before calling; XLA
-    propagates shardings and inserts dp-psum for grads and tp collectives."""
+    propagates shardings and inserts dp-psum for grads and tp collectives.
+
+    With ``grad_accum_steps > 1`` the batch's leading axis is split into
+    micro-batches processed by a ``lax.scan`` (activation memory divides by
+    the accumulation factor)."""
+
+    def grads_of(params, batch, rngs):
+        def loss_fn(params):
+            return _loss_and_metrics(model, params, batch, rngs=rngs,
+                                     deterministic=False)
+
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
         rngs = {"dropout": step_rng, "text_mask": jax.random.fold_in(step_rng, 1)}
 
-        def loss_fn(params):
-            return _loss_and_metrics(model, params, batch, rngs=rngs, deterministic=False)
+        if grad_accum_steps == 1:
+            (_, metrics), grads = grads_of(state.params, batch, rngs)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(grad_accum_steps, x.shape[0] // grad_accum_steps,
+                                    *x.shape[1:]),
+                batch,
+            )
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            def body(carry, mb):
+                grads_acc, metrics_acc = carry
+                (_, metrics), grads = grads_of(state.params, mb, rngs)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                metrics_acc = jax.tree_util.tree_map(jnp.add, metrics_acc, metrics)
+                return (grads_acc, metrics_acc), None
+
+            zero_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+            (_, m0), _ = jax.eval_shape(lambda p: grads_of(p, mb0, rngs), state.params)
+            zero_m = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
+            (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), micro)
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum_steps, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m / grad_accum_steps, metrics)
+
         new_state = state.apply_gradients(grads=grads)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

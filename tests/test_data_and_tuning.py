@@ -81,6 +81,26 @@ def test_synthetic_batches_trainable():
     assert int(state2.step) == 1
 
 
+def test_grad_accum_matches_full_batch():
+    """grad_accum_steps=2 over a uniform batch equals the full-batch step
+    (same loss gradient up to numerical noise)."""
+    model, params, _ = model_and_params()
+    gen = synthetic_tts_batches(
+        batch_size=4, n_quant=2, n_codebook=50, min_audio_len=8,
+        max_audio_len=8, pad_to_multiple=8,
+    )
+    batch = next(gen)
+    cfg = TrainConfig(n_warmup_steps=2, n_training_steps=10)
+    s1 = create_train_state(model, params, cfg)
+    s2 = create_train_state(model, params, cfg)
+    full = make_train_step(model, donate=False)
+    accum = make_train_step(model, donate=False, grad_accum_steps=2)
+    _, m1 = full(s1, batch, jax.random.PRNGKey(0))
+    _, m2 = accum(s2, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-3)
+
+
 def test_initial_state_tuning_loop_reduces_loss():
     model, params, _ = model_and_params()
     gen = synthetic_tts_batches(
