@@ -147,72 +147,59 @@ def gla_chunk(
         initial_state = jnp.zeros((b, h, dk, dv), dtype=jnp.float32)
     initial_state = initial_state.astype(jnp.float32)
 
-    # (b, h, nc, C, d)
-    qf = (q.astype(jnp.float32) * scale).reshape(b, h, nc, C, dk)
-    kf = k.astype(jnp.float32).reshape(b, h, nc, C, dk)
-    vf = v.astype(jnp.float32).reshape(b, h, nc, C, dv)
-    gf = gk.astype(jnp.float32).reshape(b, h, nc, C, dk)
+    # per-chunk inputs, scanned over the chunk axis: (nc, b, h, C, d)
+    qc = jnp.moveaxis((q.astype(jnp.float32) * scale).reshape(b, h, nc, C, dk), 2, 0)
+    kc = jnp.moveaxis(k.astype(jnp.float32).reshape(b, h, nc, C, dk), 2, 0)
+    vc = jnp.moveaxis(v.astype(jnp.float32).reshape(b, h, nc, C, dv), 2, 0)
+    gc = jnp.moveaxis(gk.astype(jnp.float32).reshape(b, h, nc, C, dk), 2, 0)
 
-    # Inclusive log-decay cumsum within each chunk.
-    bc = jnp.cumsum(gf, axis=3)  # (b, h, nc, C, dk)
-    b_total = bc[:, :, :, -1]  # (b, h, nc, dk): total chunk decay
-
-    # ---- inter-chunk recursion (sequential over chunks) ----
-    # k decayed to chunk end: exp(b_total - b_s) <= 1.
-    k_to_end = kf * jnp.exp(b_total[:, :, :, None] - bc)
-    chunk_kv = jnp.einsum("bhcsk,bhcsv->bhckv", k_to_end, vf)
-    q_in = qf * jnp.exp(bc)  # decay from chunk start to t: exp(b_t) <= 1
-
-    def chunk_step(state, inp):
-        q_c, kv_c, dtot_c = inp
-        o_inter = jnp.einsum("bhsk,bhkv->bhsv", q_c, state)
-        state = jnp.exp(dtot_c)[..., None] * state + kv_c
-        return state, o_inter
-
-    xs = (
-        jnp.moveaxis(q_in, 2, 0),
-        jnp.moveaxis(chunk_kv, 2, 0),
-        jnp.moveaxis(b_total, 2, 0),
-    )
-    final_state, o_inter = jax.lax.scan(chunk_step, initial_state, xs)
-    o_inter = jnp.moveaxis(o_inter, 0, 2)  # (b, h, nc, C, dv)
-
-    # ---- intra-chunk: sub-chunk decomposition ----
-    # (b, h, nc, ns, S, d)
-    shp = (b, h, nc, ns, S, dk)
-    qf_s = qf.reshape(shp)
-    kf_s = kf.reshape(shp)
-    vf_s = vf.reshape(b, h, nc, ns, S, dv)
-    bc_s = bc.reshape(shp)
-    # beta[i] = inclusive cumsum at the last position of sub-chunk i
-    beta = bc_s[..., -1, :]  # (b, h, nc, ns, dk)
-    beta_prev = jnp.concatenate(
-        [jnp.zeros_like(beta[..., :1, :]), beta[..., :-1, :]], axis=-2
-    )  # cumsum just before each sub-chunk start
-
-    # Diagonal (within sub-chunk): direct pairwise exp(b_t - b_s), s <= t.
-    # einsum fuses the exp/mul into the d-reduction on TPU (no O(S*S*dk)
-    # materialization in HBM).
-    pair = bc_s[..., :, None, :] - bc_s[..., None, :, :]  # (..., S, S, dk), <= 0 on tril
     tri = jnp.tril(jnp.ones((S, S), dtype=bool))
-    pair = jnp.where(tri[..., None], pair, -jnp.inf)
-    A_diag = jnp.einsum("bhcitd,bhcisd,bhcitsd->bhcits", qf_s, kf_s, jnp.exp(pair))
-    o_diag = jnp.einsum("bhcits,bhcisv->bhcitv", A_diag, vf_s)
-
-    # Off-diagonal (sub-chunk j < i):
-    #   exp(b_t - b_s) = exp(b_t - beta_prev[i]) * exp(beta_prev[i] - beta[j])
-    #                    * exp(beta[j] - b_s)
-    # all three factors have exponents <= 0 for j < i.
-    q_anch = qf_s * jnp.exp(bc_s - beta_prev[..., None, :])  # (..., ns, S, dk)
-    k_anch = kf_s * jnp.exp(beta[..., None, :] - bc_s)  # anchored at own sub-chunk end
-    cross = beta_prev[..., :, None, :] - beta[..., None, :, :]  # (..., ns_i, ns_j, dk)
     ij = jnp.tril(jnp.ones((ns, ns), dtype=bool), -1)
-    cross = jnp.where(ij[..., None], cross, -jnp.inf)
-    A_off = jnp.einsum(
-        "bhcitd,bhcijd,bhcjsd->bhcijts", q_anch, jnp.exp(cross), k_anch
-    )
-    o_off = jnp.einsum("bhcijts,bhcjsv->bhcitv", A_off, vf_s)
 
-    o = o_inter + (o_diag + o_off).reshape(b, h, nc, C, dv)
-    o = o.reshape(b, h, T, dv)[:, :, :t]
+    # The whole per-chunk computation lives inside the scan body under
+    # jax.checkpoint: backward recomputes one chunk's intermediates at a
+    # time, so peak memory is O(chunk) instead of O(sequence) (the pairwise
+    # decay tensors would otherwise all be live in the backward pass).
+    @jax.checkpoint
+    def chunk_body(state, inp):
+        qf, kf, vf, gf = inp  # (b, h, C, d)
+        bc = jnp.cumsum(gf, axis=2)
+        b_total = bc[:, :, -1]  # (b, h, dk)
+
+        # inter: carried state
+        o_inter = jnp.einsum("bhsk,bhkv->bhsv", qf * jnp.exp(bc), state)
+        k_to_end = kf * jnp.exp(b_total[:, :, None] - bc)
+        chunk_kv = jnp.einsum("bhsk,bhsv->bhkv", k_to_end, vf)
+        new_state = jnp.exp(b_total)[..., None] * state + chunk_kv
+
+        # intra: sub-chunk decomposition (b, h, ns, S, d)
+        shp = (b, h, ns, S, dk)
+        qf_s = qf.reshape(shp)
+        kf_s = kf.reshape(shp)
+        vf_s = vf.reshape(b, h, ns, S, dv)
+        bc_s = bc.reshape(shp)
+        beta = bc_s[..., -1, :]  # (b, h, ns, dk)
+        beta_prev = jnp.concatenate(
+            [jnp.zeros_like(beta[..., :1, :]), beta[..., :-1, :]], axis=-2
+        )
+
+        # diagonal: direct pairwise exp(b_t - b_s), s <= t (tril => <= 0)
+        pair = bc_s[..., :, None, :] - bc_s[..., None, :, :]
+        pair = jnp.where(tri[..., None], pair, -jnp.inf)
+        A_diag = jnp.einsum("bhitd,bhisd,bhitsd->bhits", qf_s, kf_s, jnp.exp(pair))
+        o_intra = jnp.einsum("bhits,bhisv->bhitv", A_diag, vf_s)
+
+        # off-diagonal (j < i): factors through sub-chunk anchors, all <= 0
+        q_anch = qf_s * jnp.exp(bc_s - beta_prev[..., None, :])
+        k_anch = kf_s * jnp.exp(beta[..., None, :] - bc_s)
+        cross = beta_prev[..., :, None, :] - beta[..., None, :, :]
+        cross = jnp.where(ij[..., None], cross, -jnp.inf)
+        A_off = jnp.einsum("bhitd,bhijd,bhjsd->bhijts", q_anch, jnp.exp(cross), k_anch)
+        o_intra = o_intra + jnp.einsum("bhijts,bhjsv->bhitv", A_off, vf_s)
+
+        o_chunk = o_inter + o_intra.reshape(b, h, C, dv)
+        return new_state, o_chunk
+
+    final_state, o = jax.lax.scan(chunk_body, initial_state, (qc, kc, vc, gc))
+    o = jnp.moveaxis(o, 0, 2).reshape(b, h, T, dv)[:, :, :t]
     return o.astype(q.dtype), final_state.astype(state_dtype)

@@ -95,65 +95,60 @@ def rwkv6_chunk(
         initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
     initial_state = initial_state.astype(jnp.float32)
 
-    rf = r.astype(jnp.float32).reshape(b, h, nc, C, dk)
-    kf = k.astype(jnp.float32).reshape(b, h, nc, C, dk)
-    vf = v.astype(jnp.float32).reshape(b, h, nc, C, dv)
-    wf = w.astype(jnp.float32).reshape(b, h, nc, C, dk)
+    rc = jnp.moveaxis(r.astype(jnp.float32).reshape(b, h, nc, C, dk), 2, 0)
+    kc = jnp.moveaxis(k.astype(jnp.float32).reshape(b, h, nc, C, dk), 2, 0)
+    vc = jnp.moveaxis(v.astype(jnp.float32).reshape(b, h, nc, C, dv), 2, 0)
+    wc = jnp.moveaxis(w.astype(jnp.float32).reshape(b, h, nc, C, dk), 2, 0)
     uf = u.astype(jnp.float32)
 
-    bc = jnp.cumsum(wf, axis=3)          # inclusive
-    bx = bc - wf                          # exclusive
-    b_total = bc[:, :, :, -1]
-
-    # ---- inter-chunk ----
-    k_to_end = kf * jnp.exp(b_total[:, :, :, None] - bc)
-    chunk_kv = jnp.einsum("bhcsk,bhcsv->bhckv", k_to_end, vf)
-    r_in = rf * jnp.exp(bx)  # decay from chunk start to t-1
-
-    def chunk_step(state, inp):
-        r_c, kv_c, dtot_c = inp
-        o_inter = jnp.einsum("bhsk,bhkv->bhsv", r_c, state)
-        state = jnp.exp(dtot_c)[..., None] * state + kv_c
-        return state, o_inter
-
-    xs = (jnp.moveaxis(r_in, 2, 0), jnp.moveaxis(chunk_kv, 2, 0),
-          jnp.moveaxis(b_total, 2, 0))
-    final_state, o_inter = jax.lax.scan(chunk_step, initial_state, xs)
-    o_inter = jnp.moveaxis(o_inter, 0, 2)
-
-    # ---- intra-chunk ----
-    shp = (b, h, nc, ns, S, dk)
-    rf_s = rf.reshape(shp)
-    kf_s = kf.reshape(shp)
-    vf_s = vf.reshape(b, h, nc, ns, S, dv)
-    bc_s = bc.reshape(shp)
-    bx_s = bx.reshape(shp)
-    beta = bc_s[..., -1, :]
-    beta_prev = jnp.concatenate(
-        [jnp.zeros_like(beta[..., :1, :]), beta[..., :-1, :]], axis=-2
-    )
-
-    # within sub-chunk, strictly-lower pairs: exp(bx_t - b_s) <= 0 for s < t
-    pair = bx_s[..., :, None, :] - bc_s[..., None, :, :]
     tri = jnp.tril(jnp.ones((S, S), dtype=bool), -1)
-    pair = jnp.where(tri[..., None], pair, -jnp.inf)
-    A_diag = jnp.einsum("bhcitd,bhcisd,bhcitsd->bhcits", rf_s, kf_s, jnp.exp(pair))
-    o_diag = jnp.einsum("bhcits,bhcisv->bhcitv", A_diag, vf_s)
-
-    # u bonus (s == t): o_t += (sum_d r_d u_d k_d) v_t
-    bonus = jnp.einsum("bhcitd,hd->bhcit", rf_s * kf_s, uf)
-    o_bonus = bonus[..., None] * vf_s
-
-    # cross sub-chunk (j < i): exp(bx_t - beta_prev_i) * exp(beta_prev_i -
-    # beta_j) * exp(beta_j - b_s); all exponents <= 0.
-    r_anch = rf_s * jnp.exp(bx_s - beta_prev[..., None, :])
-    k_anch = kf_s * jnp.exp(beta[..., None, :] - bc_s)
-    cross = beta_prev[..., :, None, :] - beta[..., None, :, :]
     ij = jnp.tril(jnp.ones((ns, ns), dtype=bool), -1)
-    cross = jnp.where(ij[..., None], cross, -jnp.inf)
-    A_off = jnp.einsum("bhcitd,bhcijd,bhcjsd->bhcijts", r_anch, jnp.exp(cross), k_anch)
-    o_off = jnp.einsum("bhcijts,bhcjsv->bhcitv", A_off, vf_s)
 
-    o = o_inter + (o_diag + o_bonus + o_off).reshape(b, h, nc, C, dv)
-    o = o.reshape(b, h, T, dv)[:, :, :t]
+    # per-chunk work inside the scan under jax.checkpoint: backward memory
+    # stays O(chunk) (see ops/gla.py gla_chunk for rationale)
+    @jax.checkpoint
+    def chunk_body(state, inp):
+        rf, kf, vf, wf = inp  # (b, h, C, d)
+        bc = jnp.cumsum(wf, axis=2)  # inclusive
+        bx = bc - wf                  # exclusive
+        b_total = bc[:, :, -1]
+
+        o_inter = jnp.einsum("bhsk,bhkv->bhsv", rf * jnp.exp(bx), state)
+        k_to_end = kf * jnp.exp(b_total[:, :, None] - bc)
+        chunk_kv = jnp.einsum("bhsk,bhsv->bhkv", k_to_end, vf)
+        new_state = jnp.exp(b_total)[..., None] * state + chunk_kv
+
+        shp = (b, h, ns, S, dk)
+        rf_s = rf.reshape(shp)
+        kf_s = kf.reshape(shp)
+        vf_s = vf.reshape(b, h, ns, S, dv)
+        bc_s = bc.reshape(shp)
+        bx_s = bx.reshape(shp)
+        beta = bc_s[..., -1, :]
+        beta_prev = jnp.concatenate(
+            [jnp.zeros_like(beta[..., :1, :]), beta[..., :-1, :]], axis=-2
+        )
+
+        # strictly-lower pairs within sub-chunk: exp(bx_t - b_s) <= 0, s < t
+        pair = bx_s[..., :, None, :] - bc_s[..., None, :, :]
+        pair = jnp.where(tri[..., None], pair, -jnp.inf)
+        A_diag = jnp.einsum("bhitd,bhisd,bhitsd->bhits", rf_s, kf_s, jnp.exp(pair))
+        o_intra = jnp.einsum("bhits,bhisv->bhitv", A_diag, vf_s)
+
+        # u bonus (s == t)
+        bonus = jnp.einsum("bhitd,hd->bhit", rf_s * kf_s, uf)
+        o_intra = o_intra + bonus[..., None] * vf_s
+
+        # cross sub-chunk (j < i), anchored factors all <= 0
+        r_anch = rf_s * jnp.exp(bx_s - beta_prev[..., None, :])
+        k_anch = kf_s * jnp.exp(beta[..., None, :] - bc_s)
+        cross = beta_prev[..., :, None, :] - beta[..., None, :, :]
+        cross = jnp.where(ij[..., None], cross, -jnp.inf)
+        A_off = jnp.einsum("bhitd,bhijd,bhjsd->bhijts", r_anch, jnp.exp(cross), k_anch)
+        o_intra = o_intra + jnp.einsum("bhijts,bhjsv->bhitv", A_off, vf_s)
+
+        return new_state, o_inter + o_intra.reshape(b, h, C, dv)
+
+    final_state, o = jax.lax.scan(chunk_body, initial_state, (rc, kc, vc, wc))
+    o = jnp.moveaxis(o, 0, 2).reshape(b, h, T, dv)[:, :, :t]
     return o.astype(r.dtype), final_state.astype(state_dtype)

@@ -25,12 +25,19 @@ DEFAULT_PARAM_RULES: List[Tuple[str, P]] = [
     (r".*logits_weight$", P(None, "tp", None)),       # (q, vocab, d) -> shard vocab
     (r".*p_in/kernel$", P(None, "tp")),               # SwiGLU up: (d, 2*hidden)
     (r".*p_out/kernel$", P("tp", None)),              # SwiGLU down: (hidden, d)
-    (r".*(q_proj|k_proj|v_proj|g_proj)/kernel$", P(None, "tp")),
+    # GLA / RWKV6 projections: shard heads via the feature dim
+    (r".*(q_proj|k_proj|v_proj|g_proj|r_proj)/kernel$", P(None, "tp")),
     (r".*gk_proj_2/kernel$", P(None, "tp")),          # (low_rank, key_dim)
     (r".*gk_proj_2/bias$", P("tp")),
-    (r".*(q_proj|k_proj|v_proj|g_proj)/bias$", P("tp")),
+    (r".*(q_proj|k_proj|v_proj|g_proj|r_proj)/bias$", P("tp")),
     (r".*o_proj/kernel$", P("tp", None)),             # (value_dim, d)
     (r".*(q_conv1d|k_conv1d|v_conv1d)/kernel$", P("tp", None)),  # (dim, w)
+    # Mamba: d_inner sharded
+    (r".*in_proj/kernel$", P(None, "tp")),            # (d, 2*d_inner)
+    (r".*out_proj/kernel$", P("tp", None)),           # (d_inner, d)
+    (r".*tmix/conv_kernel$", P("tp", None)),          # (d_inner, w)
+    (r".*tmix/(conv_bias|D)$", P("tp")),
+    (r".*tmix/A_log$", P("tp", None)),                # (d_inner, n)
     (r".*qkv/kernel$", P(None, "tp")),                # text-encoder fused qkv
     (r".*qkv/bias$", P("tp")),
     (r".*g_norm_swish_gate/weight$", P()),            # per-head-channel, replicated
