@@ -42,11 +42,12 @@ def main():
 
     key = jax.random.PRNGKey(0)
     x = jax.random.randint(key, (batch, text_len), 3, cfg.n_txt_vocab)
-    y = jax.random.randint(key, (2, 16, cfg.n_quant), 3, cfg.n_codebook + 3)
+    bi = min(2, batch)
+    y = jax.random.randint(key, (bi, 16, cfg.n_quant), 3, cfg.n_codebook + 3)
     params = model.init(
         jax.random.PRNGKey(1),
-        x[:2], y, jnp.ones((2, text_len, text_len), bool),
-        jnp.ones((2, 16, text_len), bool), jnp.ones((2, 16), bool),
+        x[:bi], y, jnp.ones((bi, text_len, text_len), bool),
+        jnp.ones((bi, 16, text_len), bool), jnp.ones((bi, 16), bool),
     )
 
     def run(k):

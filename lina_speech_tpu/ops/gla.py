@@ -156,6 +156,15 @@ def gla_chunk(
     tri = jnp.tril(jnp.ones((S, S), dtype=bool))
     ij = jnp.tril(jnp.ones((ns, ns), dtype=bool), -1)
 
+    # Matmul operand precision follows the IO dtype (bf16 inputs -> bf16 MXU
+    # passes, ~8x fp32 throughput); gates/cumsums/state stay fp32 and every
+    # contraction accumulates fp32 via preferred_element_type.
+    mm_dtype = q.dtype if q.dtype == jnp.bfloat16 else jnp.float32
+    ein = lambda spec, *ops: jnp.einsum(
+        spec, *(o.astype(mm_dtype) for o in ops),
+        preferred_element_type=jnp.float32,
+    )
+
     # The whole per-chunk computation lives inside the scan body under
     # jax.checkpoint: backward recomputes one chunk's intermediates at a
     # time, so peak memory is O(chunk) instead of O(sequence) (the pairwise
@@ -167,9 +176,9 @@ def gla_chunk(
         b_total = bc[:, :, -1]  # (b, h, dk)
 
         # inter: carried state
-        o_inter = jnp.einsum("bhsk,bhkv->bhsv", qf * jnp.exp(bc), state)
+        o_inter = ein("bhsk,bhkv->bhsv", qf * jnp.exp(bc), state)
         k_to_end = kf * jnp.exp(b_total[:, :, None] - bc)
-        chunk_kv = jnp.einsum("bhsk,bhsv->bhkv", k_to_end, vf)
+        chunk_kv = ein("bhsk,bhsv->bhkv", k_to_end, vf)
         new_state = jnp.exp(b_total)[..., None] * state + chunk_kv
 
         # intra: sub-chunk decomposition (b, h, ns, S, d)
@@ -184,18 +193,23 @@ def gla_chunk(
         )
 
         # diagonal: direct pairwise exp(b_t - b_s), s <= t (tril => <= 0)
+        # (kept fp32: the pairwise product is elementwise + reduce, VPU-bound)
         pair = bc_s[..., :, None, :] - bc_s[..., None, :, :]
         pair = jnp.where(tri[..., None], pair, -jnp.inf)
         A_diag = jnp.einsum("bhitd,bhisd,bhitsd->bhits", qf_s, kf_s, jnp.exp(pair))
-        o_intra = jnp.einsum("bhits,bhisv->bhitv", A_diag, vf_s)
+        o_intra = ein("bhits,bhisv->bhitv", A_diag, vf_s)
 
         # off-diagonal (j < i): factors through sub-chunk anchors, all <= 0
         q_anch = qf_s * jnp.exp(bc_s - beta_prev[..., None, :])
         k_anch = kf_s * jnp.exp(beta[..., None, :] - bc_s)
         cross = beta_prev[..., :, None, :] - beta[..., None, :, :]
         cross = jnp.where(ij[..., None], cross, -jnp.inf)
-        A_off = jnp.einsum("bhitd,bhijd,bhjsd->bhijts", q_anch, jnp.exp(cross), k_anch)
-        o_intra = o_intra + jnp.einsum("bhijts,bhjsv->bhitv", A_off, vf_s)
+        A_off = jnp.einsum(
+            "bhitd,bhijd,bhjsd->bhijts",
+            q_anch.astype(mm_dtype), jnp.exp(cross), k_anch.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        o_intra = o_intra + ein("bhijts,bhjsv->bhitv", A_off, vf_s)
 
         o_chunk = o_inter + o_intra.reshape(b, h, C, dv)
         return new_state, o_chunk
