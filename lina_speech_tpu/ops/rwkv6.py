@@ -104,6 +104,13 @@ def rwkv6_chunk(
     tri = jnp.tril(jnp.ones((S, S), dtype=bool), -1)
     ij = jnp.tril(jnp.ones((ns, ns), dtype=bool), -1)
 
+    # bf16 MXU operands for bf16 IO, fp32 accumulation (see ops/gla.py)
+    mm_dtype = r.dtype if r.dtype == jnp.bfloat16 else jnp.float32
+    ein = lambda spec, *ops: jnp.einsum(
+        spec, *(o.astype(mm_dtype) for o in ops),
+        preferred_element_type=jnp.float32,
+    )
+
     # per-chunk work inside the scan under jax.checkpoint: backward memory
     # stays O(chunk) (see ops/gla.py gla_chunk for rationale)
     @jax.checkpoint
@@ -113,9 +120,9 @@ def rwkv6_chunk(
         bx = bc - wf                  # exclusive
         b_total = bc[:, :, -1]
 
-        o_inter = jnp.einsum("bhsk,bhkv->bhsv", rf * jnp.exp(bx), state)
+        o_inter = ein("bhsk,bhkv->bhsv", rf * jnp.exp(bx), state)
         k_to_end = kf * jnp.exp(b_total[:, :, None] - bc)
-        chunk_kv = jnp.einsum("bhsk,bhsv->bhkv", k_to_end, vf)
+        chunk_kv = ein("bhsk,bhsv->bhkv", k_to_end, vf)
         new_state = jnp.exp(b_total)[..., None] * state + chunk_kv
 
         shp = (b, h, ns, S, dk)
@@ -133,7 +140,7 @@ def rwkv6_chunk(
         pair = bx_s[..., :, None, :] - bc_s[..., None, :, :]
         pair = jnp.where(tri[..., None], pair, -jnp.inf)
         A_diag = jnp.einsum("bhitd,bhisd,bhitsd->bhits", rf_s, kf_s, jnp.exp(pair))
-        o_intra = jnp.einsum("bhits,bhisv->bhitv", A_diag, vf_s)
+        o_intra = ein("bhits,bhisv->bhitv", A_diag, vf_s)
 
         # u bonus (s == t)
         bonus = jnp.einsum("bhitd,hd->bhit", rf_s * kf_s, uf)
@@ -144,8 +151,12 @@ def rwkv6_chunk(
         k_anch = kf_s * jnp.exp(beta[..., None, :] - bc_s)
         cross = beta_prev[..., :, None, :] - beta[..., None, :, :]
         cross = jnp.where(ij[..., None], cross, -jnp.inf)
-        A_off = jnp.einsum("bhitd,bhijd,bhjsd->bhijts", r_anch, jnp.exp(cross), k_anch)
-        o_intra = o_intra + jnp.einsum("bhijts,bhjsv->bhitv", A_off, vf_s)
+        A_off = jnp.einsum(
+            "bhitd,bhijd,bhjsd->bhijts",
+            r_anch.astype(mm_dtype), jnp.exp(cross), k_anch.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        o_intra = o_intra + ein("bhijts,bhjsv->bhitv", A_off, vf_s)
 
         return new_state, o_inter + o_intra.reshape(b, h, C, dv)
 
