@@ -20,11 +20,6 @@ import jax.numpy as jnp
 
 from lina_speech_tpu.models.attentive_rnn import EncoderCrossDecoder
 from lina_speech_tpu.models.base_blocks import MixingBlock, SwiGLU
-from lina_speech_tpu.models.crossatt import (
-    BlindCrossAttention,
-    CrossAttention,
-    CrossAttentionPP,
-)
 from lina_speech_tpu.ops.rwkv6 import rwkv6_chunk, rwkv6_decode_step, rwkv6_scan_ref
 
 Array = jnp.ndarray
