@@ -78,8 +78,16 @@ def create_codec_gan(key, wavtok: WavTokenizer, mpd: MultiPeriodDiscriminator,
     gen_params = wavtok.init(k1, audio_example)
     mpd_params = mpd.init(k2, audio_example)
     mrd_params = mrd.init(k3, audio_example)
-    gen_tx = optax.adamw(config.lr_gen, b1=config.betas[0], b2=config.betas[1])
-    disc_tx = optax.adamw(config.lr_disc, b1=config.betas[0], b2=config.betas[1])
+    # cosine-with-warmup LR on both optimizers, stepped per optimizer step
+    # (reference experiment.py:100-111)
+    from lina_speech_tpu.train.harness import cosine_schedule_with_warmup
+
+    gen_sched = cosine_schedule_with_warmup(
+        config.lr_gen, config.num_warmup_steps, config.max_steps)
+    disc_sched = cosine_schedule_with_warmup(
+        config.lr_disc, config.num_warmup_steps, config.max_steps)
+    gen_tx = optax.adamw(gen_sched, b1=config.betas[0], b2=config.betas[1])
+    disc_tx = optax.adamw(disc_sched, b1=config.betas[0], b2=config.betas[1])
     state = CodecGanState(
         gen_params=gen_params,
         disc_mpd=mpd_params,

@@ -81,6 +81,57 @@ def residual_vq_encode(x: Array, quantizer: VectorQuantizer, n_q: Optional[int] 
     return jnp.stack(codes)
 
 
+def kmeans_init(key: jax.Array, x: Array, bins: int, iters: int = 10) -> Array:
+    """k-means codebook init from the first batch (core_vq.py:140-151).
+
+    x: (N, d) latents -> (bins, d) centroids. Deterministic given the key, so
+    every dp rank computes the identical init (replacing the reference's
+    post-init broadcast, distrib.py:55-68)."""
+    n, d = x.shape
+    idx = jax.random.choice(key, n, (bins,), replace=n < bins)
+    centroids = x[idx]
+
+    def step(c, _):
+        dist = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = jnp.argmin(dist, axis=1)
+        onehot = jax.nn.one_hot(assign, bins, dtype=x.dtype)
+        counts = onehot.sum(0)
+        sums = onehot.T @ x
+        new_c = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), c)
+        return new_c, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    return centroids
+
+
+def expire_dead_codes(
+    key: jax.Array,
+    quantizer: VectorQuantizer,
+    batch_samples: Array,
+    threshold: float = 2.0,
+    axis_name: Optional[str] = None,
+) -> VectorQuantizer:
+    """Replace codes whose EMA cluster size fell below ``threshold`` with
+    random samples from the current batch (core_vq.py:153-169). With
+    ``axis_name``, the batch is the same on every rank only if the caller
+    gathers it; we instead draw from the local batch but with a key that is
+    identical across ranks and data that is psum-averaged — in practice the
+    reference broadcasts rank 0; deterministic keys make that unnecessary."""
+    n_q, bins, dim = quantizer.embed.shape
+    flat = batch_samples.reshape(-1, dim)
+    if axis_name is not None:
+        # use the cross-replica mean batch so every rank picks identically
+        flat = jax.lax.pmean(flat, axis_name)
+    new_embed = []
+    for i in range(n_q):
+        k_i = jax.random.fold_in(key, i)
+        idx = jax.random.choice(k_i, flat.shape[0], (bins,), replace=True)
+        repl = flat[idx]
+        dead = quantizer.cluster_size[i] < threshold
+        new_embed.append(jnp.where(dead[:, None], repl, quantizer.embed[i]))
+    return quantizer.replace(embed=jnp.stack(new_embed))
+
+
 class VQTrainResult(NamedTuple):
     quantized: Array      # straight-through quantized latents
     codes: Array          # (n_q, B, T)

@@ -117,6 +117,21 @@ def convert_torch_lina(state_dict: Dict[str, np.ndarray], params: Any,
     return traverse_util.unflatten_dict(out, sep="/")
 
 
+def average_checkpoints(param_trees) -> Any:
+    """Average several param pytrees (the reference averages the best-3
+    vocoder checkpoints by val loss, decoder/pretrained.py:117-156)."""
+    import jax
+
+    n = len(param_trees)
+    assert n > 0
+    return jax.tree_util.tree_map(
+        lambda *leaves: (
+            sum(np.asarray(l, np.float64) for l in leaves) / n
+        ).astype(np.asarray(leaves[0]).dtype),
+        *param_trees,
+    )
+
+
 def fold_weight_norm(weight_g: np.ndarray, weight_v: np.ndarray) -> np.ndarray:
     """Fold torch weight_norm (g, v) into a plain conv kernel:
     w = g * v / ||v||, norm over all dims except dim 0 (torch default)."""
