@@ -31,3 +31,51 @@ class ISTFTHead(nn.Module):
         mag = jnp.minimum(jnp.exp(mag), 1e2)
         spec = mag * (jnp.cos(p) + 1j * jnp.sin(p))
         return istft_same(spec, self.n_fft, self.hop_length)
+
+
+def symexp(x: Array) -> Array:
+    return jnp.sign(x) * (jnp.exp(jnp.abs(x)) - 1.0)
+
+
+class IMDCTSymExpHead(nn.Module):
+    """Alt head: MDCT coefficients through a symmetric exponential
+    (reference decoder/heads.py:70-120)."""
+
+    dim: int
+    mdct_frame_len: int
+    padding: str = "same"
+    clip_audio: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from lina_speech_tpu.codec.mdct import imdct
+
+        h = nn.Dense(self.mdct_frame_len // 2, dtype=self.dtype, name="out")(x)
+        h = jnp.clip(symexp(h.astype(jnp.float32)), -1e2, 1e2)
+        audio = imdct(h, padding=self.padding)
+        if self.clip_audio:
+            audio = jnp.clip(audio, -1.0, 1.0)
+        return audio
+
+
+class IMDCTCosHead(nn.Module):
+    """Alt head: MDCT = exp(m) * cos(p) (reference decoder/heads.py:123-157)."""
+
+    dim: int
+    mdct_frame_len: int
+    padding: str = "same"
+    clip_audio: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from lina_speech_tpu.codec.mdct import imdct
+
+        h = nn.Dense(self.mdct_frame_len, dtype=self.dtype, name="out")(x)
+        m, p = jnp.split(h.astype(jnp.float32), 2, axis=-1)
+        coeffs = jnp.minimum(jnp.exp(m), 1e2) * jnp.cos(p)
+        audio = imdct(coeffs, padding=self.padding)
+        if self.clip_audio:
+            audio = jnp.clip(audio, -1.0, 1.0)
+        return audio
