@@ -75,17 +75,11 @@ class SimpleSpeakerEncoder(nn.Module):
         self.out_proj = nn.Dense(self.dim, dtype=self.dtype)
 
     def __call__(self, x: Array, window_start: int = 0, deterministic: bool = True) -> Array:
-        x = jnp.asarray(x)
-        x = jax_dynamic_window(x, window_start, self.window_length)
+        import jax
+
+        length = min(self.window_length, x.shape[1])
+        x = jax.lax.dynamic_slice_in_dim(x, window_start, length, axis=1)
         x = self.in_proj(x)
         for block in self.sa:
             x = block(x, deterministic=deterministic)
         return self.out_proj(x[:, 0])
-
-
-def jax_dynamic_window(x: Array, start, length: int) -> Array:
-    import jax
-
-    b, n, d = x.shape
-    length = min(length, n)
-    return jax.lax.dynamic_slice_in_dim(x, start, length, axis=1)

@@ -86,6 +86,7 @@ def fit(args) -> None:
     if args.load_weights:
         params = restore_checkpoint(args.load_weights, params)
     start_step = 0
+    resume_tree = None
     if args.resume and args.ckpt_dir and os.path.isdir(args.ckpt_dir):
         steps = sorted(
             int(d.split("_")[1]) for d in os.listdir(args.ckpt_dir)
@@ -93,12 +94,29 @@ def fit(args) -> None:
         )
         if steps:
             start_step = steps[-1]
-            params = restore_checkpoint(
-                os.path.abspath(f"{args.ckpt_dir}/step_{start_step}"), params
-            )
-            print(f"resumed from step {start_step}")
+            resume_tree = os.path.abspath(f"{args.ckpt_dir}/step_{start_step}")
+            print(f"resuming from step {start_step}")
     params = shard_params(params, mesh)
     state = create_train_state(model, params, train_cfg)
+    if resume_tree is not None:
+        # restore the FULL train state (params + optimizer moments + step),
+        # re-placing every leaf on its mesh sharding
+        target = {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step}
+        full = restore_checkpoint(resume_tree, target)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+        def _replace(restored, ref):
+            sh = getattr(ref, "sharding", None)
+            if isinstance(sh, NamedSharding):
+                return jax.device_put(restored, sh)
+            return jax.device_put(restored, replicated)
+
+        full = jax.tree_util.tree_map(_replace, full, target)
+        state = state.replace(params=full["params"], opt_state=full["opt_state"],
+                              step=full["step"])
     if args.ckpt_dir:
         os.makedirs(args.ckpt_dir, exist_ok=True)
         if args.config:
@@ -121,13 +139,18 @@ def fit(args) -> None:
             metrics["step_time_s"] = timer.last
             logger.log(step_idx, metrics)
         if args.ckpt_dir and step_idx > 0 and step_idx % args.ckpt_every == 0:
-            save_checkpoint(os.path.abspath(args.ckpt_dir), state.params, step=step_idx)
+            save_checkpoint(os.path.abspath(args.ckpt_dir),
+                            {"params": state.params,
+                             "opt_state": state.opt_state,
+                             "step": state.step}, step=step_idx)
         if args.eval_every and step_idx > 0 and step_idx % args.eval_every == 0:
             em = eval_step(state, shard_batch(next(data), mesh))
             logger.log(step_idx, {f"val_{k}": float(v) for k, v in em.items()})
 
     if args.ckpt_dir:
-        save_checkpoint(os.path.abspath(args.ckpt_dir), state.params,
+        save_checkpoint(os.path.abspath(args.ckpt_dir),
+                        {"params": state.params, "opt_state": state.opt_state,
+                         "step": state.step},
                         step=train_cfg.n_training_steps)
     logger.close()
     print(f"done: {train_cfg.n_training_steps} steps, "
