@@ -144,6 +144,17 @@ def build_model(cfg: ModelConfig):
             dropout_att=b.dropout_att, dropout=b.dropout, rotary=b.rotary,
             dtype=dtype,
         )
+    elif b.kind == "mamba2":
+        from lina_speech_tpu.models.mamba import AttentiveMamba2
+
+        rnn = AttentiveMamba2(
+            d_model=b.d_model, n_layer=b.n_layer, heads=b.heads,
+            dropout_att=b.dropout_att, dropout=b.dropout, d_blind=b.d_blind,
+            blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
+            pos_type=b.pos_type,
+            headdim=64 if (2 * b.d_model) % 64 == 0 else 16,
+            dtype=dtype,
+        )
     elif b.kind == "mamba":
         from lina_speech_tpu.models.mamba import AttentiveMamba
 

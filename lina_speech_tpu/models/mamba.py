@@ -131,6 +131,152 @@ class MambaMixer(nn.Module):
         return out, MambaState(h=h, conv=conv)
 
 
+class Mamba2Mixer(nn.Module):
+    """Mamba-2 (SSD) token mixer.
+
+    The SSD recurrence is the *scalar-per-head-decay* linear attention
+    (state (d_head, d_state) per head, decay exp(A·dt_t) shared across the
+    head's channels), so it runs on the same chunked GLA kernels as
+    simple-GLA with B_t as keys, C_t as queries and the conv'd x as values
+    (reference layer: mamba_ssm Mamba2, model/mamba.py:40-44; not in tree).
+    Structure: in_proj -> [z | x | B | C | dt], depthwise conv on (x, B, C),
+    SSD scan, per-head RMSNorm gated by z, out_proj.
+    """
+
+    d_model: int
+    d_state: int = 64
+    d_conv: int = 4
+    expand: int = 2
+    headdim: int = 64
+    dtype: Any = jnp.float32
+
+    @property
+    def d_inner(self) -> int:
+        return self.expand * self.d_model
+
+    @property
+    def n_heads(self) -> int:
+        return self.d_inner // self.headdim
+
+    def setup(self):
+        d_in = self.d_inner
+        conv_dim = d_in + 2 * self.d_state
+        self.in_proj = nn.Dense(2 * d_in + 2 * self.d_state + self.n_heads,
+                                use_bias=False, dtype=self.dtype)
+        self.conv_kernel = self.param(
+            "conv_kernel", nn.initializers.lecun_normal(), (conv_dim, self.d_conv),
+            jnp.float32,
+        )
+        self.conv_bias = self.param("conv_bias", nn.initializers.zeros,
+                                    (conv_dim,), jnp.float32)
+        self.A_log = self.param(
+            "A_log", lambda k, s: jnp.log(jax.random.uniform(k, s, jnp.float32, 1.0, 16.0)),
+            (self.n_heads,),
+        )
+        self.dt_bias = self.param("dt_bias", nn.initializers.zeros, (self.n_heads,))
+        self.D = self.param("D", nn.initializers.ones, (self.n_heads,))
+        self.norm_weight = self.param("norm_weight", nn.initializers.ones, (d_in,))
+        self.out_proj = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)
+
+    def _split_proj(self, zxbcdt: Array):
+        d_in, n = self.d_inner, self.d_state
+        z, xbc, dt = jnp.split(zxbcdt, [d_in, 2 * d_in + 2 * n], axis=-1)
+        return z, xbc, dt  # dt: (..., n_heads)
+
+    def _heads(self, x: Array, B: Array, C: Array, dt: Array):
+        """-> q/k/v/gk in (b, h, t, *) layout for the GLA kernels."""
+        b, t, _ = x.shape
+        h, p, n = self.n_heads, self.headdim, self.d_state
+        # per-head values x (b,h,t,p); shared B/C across heads (b,1->h,t,n)
+        xs = x.reshape(b, t, h, p).transpose(0, 2, 1, 3)
+        Bh = jnp.broadcast_to(B[:, None], (b, h, t, n))
+        Ch = jnp.broadcast_to(C[:, None], (b, h, t, n))
+        dt = jax.nn.softplus(dt.astype(jnp.float32) + self.dt_bias)  # (b, t, h)
+        a = -jnp.exp(self.A_log)[None, None] * dt  # log-decay (b, t, h) <= 0
+        gk = jnp.broadcast_to(
+            a.transpose(0, 2, 1)[..., None], (b, h, t, n)
+        )  # broadcast over state dim like scalar-gate GLA
+        # SSD: v scaled by dt (ZOH input); D skip added after
+        v = xs * dt.transpose(0, 2, 1)[..., None]
+        return Ch, Bh, v, gk, xs
+
+    def __call__(self, x: Array, reset_mask: Optional[Array] = None,
+                 initial_state: Optional[MambaState] = None,
+                 output_final_state: bool = False, **kwargs):
+        from lina_speech_tpu.ops.gla import gla_chunk
+
+        b, t, _ = x.shape
+        zxbcdt = self.in_proj(x)
+        z, xbc_pre, dt = self._split_proj(zxbcdt)
+        xbc = causal_depthwise_conv(xbc_pre, self.conv_kernel.astype(self.dtype),
+                                    self.conv_bias.astype(self.dtype))
+        xs, B, C = jnp.split(xbc, [self.d_inner, self.d_inner + self.d_state], axis=-1)
+        q, k, v, gk, xh = self._heads(xs, B, C, dt)
+        if reset_mask is not None:
+            gk = jnp.where(reset_mask[:, None, :, None], -20.0, gk)
+        s0 = initial_state.h if initial_state is not None else None
+        if s0 is not None:
+            s0 = s0.reshape(b, self.n_heads, self.d_state, self.headdim)
+        o, s_final = gla_chunk(q, k, v, gk, initial_state=s0, scale=1.0)
+        o = o + self.D[None, :, None, None] * xh  # D skip
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, self.d_inner)
+        # gated per-head RMSNorm (Mamba2 norm): RMS over head channels
+        o = self._gated_norm(o, z)
+        out = self.out_proj(o)
+        if output_final_state:
+            w = self.d_conv
+            tail = jnp.pad(xbc_pre, ((0, 0), (max(0, w - t), 0), (0, 0)))[:, -w:, :]
+            st = MambaState(
+                h=s_final.reshape(b, self.n_heads * self.d_state, self.headdim),
+                conv=tail.transpose(0, 2, 1),
+            )
+            return out, st
+        return out
+
+    def _gated_norm(self, o: Array, z: Array) -> Array:
+        of = o.astype(jnp.float32)
+        shp = of.shape
+        oh = of.reshape(*shp[:-1], self.n_heads, self.headdim)
+        oh = oh * jax.lax.rsqrt(jnp.mean(oh * oh, axis=-1, keepdims=True) + 1e-5)
+        of = oh.reshape(shp) * self.norm_weight
+        return (of * jax.nn.silu(z.astype(jnp.float32))).astype(o.dtype)
+
+    def step(self, x_t: Array, state: MambaState):
+        from lina_speech_tpu.ops.gla import gla_decode_step
+
+        b, _ = x_t.shape
+        zxbcdt = self.in_proj(x_t)
+        z, xbc, dt = self._split_proj(zxbcdt)
+        xbc, conv = short_conv_step(xbc, state.conv, self.conv_kernel.astype(self.dtype),
+                                    self.conv_bias.astype(self.dtype))
+        xs, B, C = jnp.split(xbc, [self.d_inner, self.d_inner + self.d_state], axis=-1)
+        h, p, n = self.n_heads, self.headdim, self.d_state
+        xh = xs.reshape(b, h, p)
+        Bh = jnp.broadcast_to(B[:, None], (b, h, n))
+        Ch = jnp.broadcast_to(C[:, None], (b, h, n))
+        dtf = jax.nn.softplus(dt.astype(jnp.float32) + self.dt_bias)  # (b, h)
+        gk = jnp.broadcast_to((-jnp.exp(self.A_log)[None] * dtf)[..., None], (b, h, n))
+        v = xh * dtf[..., None]
+        s = state.h.reshape(b, h, n, p)
+        o, s = gla_decode_step(Ch, Bh, v, gk, s, scale=1.0)
+        o = o + self.D[None, :, None] * xh
+        o = o.reshape(b, self.d_inner)
+        o = self._gated_norm(o, z)
+        return self.out_proj(o), MambaState(h=s.reshape(b, h * n, p), conv=conv)
+
+
+def mamba2_empty_state(batch_size: int, d_model: int, expand: int = 2,
+                       d_state: int = 64, d_conv: int = 4, headdim: int = 64,
+                       dtype: Any = jnp.float32,
+                       state_dtype: Any = jnp.float32) -> MambaState:
+    d_inner = expand * d_model
+    n_heads = d_inner // headdim
+    return MambaState(
+        h=jnp.zeros((batch_size, n_heads * d_state, headdim), state_dtype),
+        conv=jnp.zeros((batch_size, d_inner + 2 * d_state, d_conv), dtype),
+    )
+
+
 class AttentiveMamba(EncoderCrossDecoder):
     """Encoder -> cross-attention -> decoder with Mamba mixers
     (reference model/mamba.py:20-113)."""
@@ -150,6 +296,30 @@ class AttentiveMamba(EncoderCrossDecoder):
     def _layer_state(self, batch_size: int, d: int, dtype: Any) -> MambaState:
         return mamba_empty_state(batch_size, d, self.expand, self.d_state,
                                  self.d_conv, dtype, state_dtype=self.state_dtype)
+
+
+class AttentiveMamba2(EncoderCrossDecoder):
+    """Mamba-2/SSD backbone (the reference's version=2 default,
+    mamba.py:36-44)."""
+
+    d_state: int = 64
+    d_conv: int = 4
+    expand: int = 2
+    headdim: int = 64
+
+    def _block(self, d: int) -> MixingBlock:
+        return MixingBlock(
+            tmix=Mamba2Mixer(d_model=d, d_state=self.d_state, d_conv=self.d_conv,
+                             expand=self.expand, headdim=self.headdim,
+                             dtype=self.dtype),
+            cmix=SwiGLU(d, dtype=self.dtype),
+            dropout=self.dropout,
+        )
+
+    def _layer_state(self, batch_size: int, d: int, dtype: Any) -> MambaState:
+        return mamba2_empty_state(batch_size, d, self.expand, self.d_state,
+                                  self.d_conv, self.headdim, dtype,
+                                  state_dtype=self.state_dtype)
 
 
 class CrossAttMamba(InterleavedCrossAtt):

@@ -107,7 +107,7 @@ def test_mamba_scan_matches_step():
 
 @pytest.mark.parametrize("kind,interleaved", [
     ("simple_gla", False), ("rwkv6", False), ("transformer", False),
-    ("mamba", False), ("gla", True), ("mamba", True),
+    ("mamba", False), ("mamba2", False), ("gla", True), ("mamba", True),
 ])
 def test_variant_forward_and_decode(kind, interleaved):
     cfg, model = _variant_model(kind, interleaved)
