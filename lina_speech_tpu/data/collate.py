@@ -106,6 +106,10 @@ def packed_collate_tts(
     crossatt = packmask_2d(ylen, xlen, offset=offset)  # (sum_y, sum_x)
     encoder = packmask_2d(xlen, xlen)
     reset = packed_reset_mask(ylen)
+    # positional ids restart per packed text segment (feeds the blind
+    # cross-attention's pos embedding, the batch's crossatt_pos column,
+    # train_lina.py:76)
+    crossatt_pos = np.concatenate([np.arange(n) for n in xlen])[None, :]
 
     return {
         "text_token": text_token,
@@ -114,4 +118,5 @@ def packed_collate_tts(
         "crossatt_mask": crossatt[None],
         "y_mask": np.ones((1, audio_token.shape[1]), bool),
         "reset_mask": reset[None],
+        "crossatt_pos": crossatt_pos,
     }
