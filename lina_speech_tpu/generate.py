@@ -169,7 +169,8 @@ def generate_batch(
 
     def body(c: Carry):
         logits, att, state = model.apply(
-            params, c.y_embd, x_enc, c.state, method=LinaModel.decode_step
+            params, c.y_embd, x_enc, c.state, time_step=c.t,
+            method=LinaModel.decode_step,
         )
         key, sub = jax.random.split(c.key)
         toks = _sample_tokens(sub, logits, k, temp, first_greedy_quant)  # (b, q)

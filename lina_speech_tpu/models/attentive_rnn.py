@@ -201,6 +201,7 @@ class EncoderCrossDecoder(nn.Module):
         state: BackboneState,
         mask: Optional[Array] = None,
         crossatt_pos: Optional[Array] = None,
+        time_step: Optional[Array] = None,
     ):
         """y_embd: (b, d) current token embedding; x_enc: (b, m, d).
 
@@ -212,11 +213,13 @@ class EncoderCrossDecoder(nn.Module):
 
         if self._has_stateful_crossatt:
             v, att, pos_net_state = self.cross_att.step(
-                y_embd, x_enc, state.pos_net, mask=mask, pos=crossatt_pos
+                y_embd, x_enc, state.pos_net, mask=mask, pos=crossatt_pos,
+                time_step=time_step,
             )
         else:
             v, att = self.cross_att(
-                y_embd[:, None], x_enc, mask=mask, return_weights=True
+                y_embd[:, None], x_enc, mask=mask, time_step=time_step,
+                return_weights=True,
             )
             v, att, pos_net_state = v[:, 0], att[:, :, 0], None
         y_embd = y_embd + v
@@ -362,7 +365,8 @@ class InterleavedCrossAtt(nn.Module):
             return x, att, BackboneState(layers=tuple(final_layers))
         return x, att
 
-    def step(self, y_embd, x_enc, state: BackboneState, mask=None, crossatt_pos=None):
+    def step(self, y_embd, x_enc, state: BackboneState, mask=None, crossatt_pos=None,
+             time_step=None):
         idx = {k: i for i, k in enumerate(self.cross_att_layers)}
         layers = list(state.layers)
         atts = []
@@ -370,6 +374,7 @@ class InterleavedCrossAtt(nn.Module):
             y_embd, layers[i] = blk.step(y_embd, layers[i])
             if i in idx:
                 v, att = self.cross_att[idx[i]](y_embd[:, None], x_enc, mask=mask,
+                                                time_step=time_step,
                                                 return_weights=True)
                 y_embd = y_embd + v[:, 0]
                 atts.append(att[:, :, 0])

@@ -136,6 +136,7 @@ class BlindCrossAttention(nn.Module):
     pos_net: nn.Module
     pos_dim: int = 1024
     pos_type: str = "sinusoidal"
+    rotary: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -152,10 +153,17 @@ class BlindCrossAttention(nn.Module):
         else:
             raise ValueError(f"unknown pos_type {self.pos_type}")
 
-    def _proj(self, q, k):
+    def _proj(self, q, k, time_step=None):
         qq = self.ln_q(self.q(q))
         vv = self.ln_v(self.v(k))
         kk = self.ln_k(self.k(k))
+        if self.rotary:
+            # single head -> rotate the first att_dim/2 channels
+            # (crossatt.py:102,129-134; time_step offsets the query)
+            rot = self.att_dim // 2
+            off = 0 if time_step is None else time_step
+            qq = apply_rotary(qq, jnp.arange(qq.shape[1]) + off, rot)
+            kk = apply_rotary(kk, jnp.arange(kk.shape[1]), rot)
         return qq[:, None], kk[:, None], vv[:, None]  # single head: (b, 1, n, d)
 
     def __call__(
@@ -199,10 +207,11 @@ class BlindCrossAttention(nn.Module):
         pos_net_state,
         mask: Optional[Array] = None,
         pos: Optional[Array] = None,
+        time_step: Optional[Array] = None,
     ):
         """One decode token. q_t: (b, d); k: (b, j, d_k). Returns
         (out (b, d_att), att (b, 2, j), new_pos_net_state)."""
-        qh, kh, vh = self._proj(q_t[:, None], k)
+        qh, kh, vh = self._proj(q_t[:, None], k, time_step=time_step)
         b, _, j, _ = kh.shape
         if pos is None:
             pos = jnp.arange(j)[None, :]
@@ -259,13 +268,14 @@ class CrossAttentionPP(nn.Module):
         return y, att, inter_final
 
     def step(self, q_t: Array, k: Array, pos_net_state, mask: Optional[Array] = None,
-             pos: Optional[Array] = None):
+             pos: Optional[Array] = None, time_step: Optional[Array] = None):
         b, n, d = k.shape
         pe = self.pos_emb(jnp.arange(n))[None]
         k_pos = k + pe
         if mask is not None and mask.ndim == 3:
             mask = mask[:, None]
-        y, att1 = self.ca_0(q_t[:, None], k, k_pos, mask=mask, return_weights=True)
+        y, att1 = self.ca_0(q_t[:, None], k, k_pos, mask=mask, time_step=time_step,
+                            return_weights=True)
         y, pos_net_state = self.inter_net.step(y[:, 0], pos_net_state)
         y, att2 = self.ca_1(y[:, None], k_pos, k, mask=mask, return_weights=True)
         att = jnp.concatenate([att1, att2], axis=1)[:, :, 0]

@@ -148,13 +148,14 @@ class LinaModel(nn.Module):
         x_enc: Array,
         state: BackboneState,
         crossatt_pos: Optional[Array] = None,
+        time_step: Optional[Array] = None,
     ):
         """One AR token: backbone step + per-quantizer logits.
 
         y_embd: (b, d) -> (logits (b, q, l), att, new_state).
         """
         y, att, state = self.attentive_rnn.step(
-            y_embd, x_enc, state, crossatt_pos=crossatt_pos
+            y_embd, x_enc, state, crossatt_pos=crossatt_pos, time_step=time_step
         )
         logits = self._head(y[:, None])[:, 0]  # (b, q, l)
         return logits, att, state

@@ -135,7 +135,7 @@ class TransformerCrossAtt(nn.Module):
         return x, att
 
     def step(self, y_embd: Array, x_enc: Array, state: TransformerState,
-             mask=None, crossatt_pos=None):
+             mask=None, crossatt_pos=None, time_step=None):
         idx = {k: i for i, k in enumerate(self.cross_att_layers)}
         layers = list(state.layers)
         atts = []
