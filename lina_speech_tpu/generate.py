@@ -206,9 +206,12 @@ def cut_outputs(result: GenerateResult, n_quant: int, n_special_token_in: int = 
     rvq = np.asarray(undelay_rvq(jnp.asarray(qs))) - n_special_token_in
     rvq = np.clip(rvq, 0, None)
     att = np.asarray(result.att) if result.att is not None else None
+    stop = np.asarray(result.stop_mask)
     outs = []
     for i, L in enumerate(np.asarray(result.lengths)):
-        idx = int(L)
+        # first stop position (reference stop_idx unique()[1],
+        # modeling_lina.py:187-191); rows that never stopped use n_steps
+        idx = int(L) - 1 if stop[i].any() else int(L)
         end = max(idx - n_quant, 0)
         outs.append(
             (
