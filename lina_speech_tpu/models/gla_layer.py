@@ -262,10 +262,11 @@ class GatedLinearAttention(nn.Module):
 
         s0 = initial_state.s if initial_state is not None else None
         if mode == "auto":
-            # Measured on v5e: XLA's fused chunked form currently edges out
-            # the Pallas kernel (1.36 vs 1.57 ms at B8 H4 T1024), so it is
-            # the default everywhere; "chunk_pallas" stays selectable.
-            mode = "chunk"
+            # Training path: checkpointed chunk scan (O(chunk) backward
+            # memory). Prefill / initial-state forward (output_final_state):
+            # the all-chunks-parallel variant — its fwd is much faster and
+            # those callers tolerate its backward memory (small batches).
+            mode = "chunk_parallel" if output_final_state else "chunk"
         if mode == "chunk_pallas":
             from lina_speech_tpu.ops.gla_pallas import gla_chunk_pallas
 
@@ -273,6 +274,11 @@ class GatedLinearAttention(nn.Module):
                 qh, kh, vh, gh, initial_state=s0,
                 chunk_size=max(self.chunk_size, 64),
             )
+        elif mode == "chunk_parallel":
+            from lina_speech_tpu.ops.gla import gla_chunk_parallel
+
+            o, s_final = gla_chunk_parallel(qh, kh, vh, gh, initial_state=s0,
+                                            chunk_size=self.chunk_size)
         elif mode == "chunk":
             o, s_final = gla_chunk(qh, kh, vh, gh, initial_state=s0, chunk_size=self.chunk_size)
         else:

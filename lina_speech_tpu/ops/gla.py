@@ -217,3 +217,104 @@ def gla_chunk(
     final_state, o = jax.lax.scan(chunk_body, initial_state, (qc, kc, vc, gc))
     o = jnp.moveaxis(o, 0, 2).reshape(b, h, T, dv)[:, :, :t]
     return o.astype(q.dtype), final_state.astype(state_dtype)
+
+
+def gla_chunk_parallel(
+    q: Array,
+    k: Array,
+    v: Array,
+    gk: Array,
+    initial_state: Optional[Array] = None,
+    scale: Optional[float] = None,
+    chunk_size: int = 64,
+    subchunk_size: int = 16,
+) -> Tuple[Array, Array]:
+    """Inference/prefill variant of :func:`gla_chunk`: intra-chunk work is
+    vectorized across ALL chunks (only the cheap state recursion is
+    sequential), maximizing parallelism. Identical math; its *backward*
+    keeps every chunk's pairwise tensors live, so the checkpointed-scan
+    :func:`gla_chunk` is the training path.
+    """
+    scale = _default_scale(q, scale)
+    b, h, t, dk = q.shape
+    dv = v.shape[-1]
+    C, S = chunk_size, subchunk_size
+    assert C % S == 0
+    ns = C // S
+
+    pad = (-t) % C
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        q, k, v, gk = pz(q), pz(k), pz(v), pz(gk)
+    T = t + pad
+    nc = T // C
+
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
+    if initial_state is None:
+        initial_state = jnp.zeros((b, h, dk, dv), dtype=jnp.float32)
+    initial_state = initial_state.astype(jnp.float32)
+
+    mm_dtype = q.dtype if q.dtype == jnp.bfloat16 else jnp.float32
+    ein = lambda spec, *ops: jnp.einsum(
+        spec, *(o.astype(mm_dtype) for o in ops),
+        preferred_element_type=jnp.float32,
+    )
+
+    qf = (q.astype(jnp.float32) * scale).reshape(b, h, nc, C, dk)
+    kf = k.astype(jnp.float32).reshape(b, h, nc, C, dk)
+    vf = v.astype(jnp.float32).reshape(b, h, nc, C, dv)
+    gf = gk.astype(jnp.float32).reshape(b, h, nc, C, dk)
+
+    bc = jnp.cumsum(gf, axis=3)
+    b_total = bc[:, :, :, -1]
+
+    # inter-chunk state recursion (the only sequential piece)
+    k_to_end = kf * jnp.exp(b_total[:, :, :, None] - bc)
+    chunk_kv = ein("bhcsk,bhcsv->bhckv", k_to_end, vf)
+    q_in = qf * jnp.exp(bc)
+
+    def chunk_step(state, inp):
+        q_c, kv_c, dtot_c = inp
+        o_inter = jnp.einsum("bhsk,bhkv->bhsv", q_c.astype(mm_dtype),
+                             state.astype(mm_dtype),
+                             preferred_element_type=jnp.float32)
+        state = jnp.exp(dtot_c)[..., None] * state + kv_c
+        return state, o_inter
+
+    xs = (jnp.moveaxis(q_in, 2, 0), jnp.moveaxis(chunk_kv, 2, 0),
+          jnp.moveaxis(b_total, 2, 0))
+    final_state, o_inter = jax.lax.scan(chunk_step, initial_state, xs)
+    o_inter = jnp.moveaxis(o_inter, 0, 2)
+
+    # intra-chunk, vectorized over (nc, ns)
+    shp = (b, h, nc, ns, S, dk)
+    qf_s = qf.reshape(shp)
+    kf_s = kf.reshape(shp)
+    vf_s = vf.reshape(b, h, nc, ns, S, dv)
+    bc_s = bc.reshape(shp)
+    beta = bc_s[..., -1, :]
+    beta_prev = jnp.concatenate(
+        [jnp.zeros_like(beta[..., :1, :]), beta[..., :-1, :]], axis=-2
+    )
+
+    tri = jnp.tril(jnp.ones((S, S), dtype=bool))
+    pair = bc_s[..., :, None, :] - bc_s[..., None, :, :]
+    pair = jnp.where(tri[..., None], pair, -jnp.inf)
+    A_diag = jnp.einsum("bhcitd,bhcisd,bhcitsd->bhcits", qf_s, kf_s, jnp.exp(pair))
+    o_intra = ein("bhcits,bhcisv->bhcitv", A_diag, vf_s)
+
+    q_anch = qf_s * jnp.exp(bc_s - beta_prev[..., None, :])
+    k_anch = kf_s * jnp.exp(beta[..., None, :] - bc_s)
+    cross = beta_prev[..., :, None, :] - beta[..., None, :, :]
+    ij = jnp.tril(jnp.ones((ns, ns), dtype=bool), -1)
+    cross = jnp.where(ij[..., None], cross, -jnp.inf)
+    A_off = jnp.einsum(
+        "bhcitd,bhcijd,bhcjsd->bhcijts",
+        q_anch.astype(mm_dtype), jnp.exp(cross), k_anch.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    o_intra = o_intra + ein("bhcijts,bhcjsv->bhcitv", A_off, vf_s)
+
+    o = o_inter + o_intra.reshape(b, h, nc, C, dv)
+    o = o.reshape(b, h, T, dv)[:, :, :t]
+    return o.astype(q.dtype), final_state.astype(state_dtype)

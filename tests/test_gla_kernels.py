@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from lina_speech_tpu.ops import gla_scan_ref, gla_chunk, gla_decode_step
+from lina_speech_tpu.ops.gla import gla_chunk_parallel
 
 
 def make_inputs(key, b=2, h=2, t=100, dk=32, dv=48, reset=False, dtype=jnp.float32):
@@ -26,12 +27,13 @@ def make_inputs(key, b=2, h=2, t=100, dk=32, dv=48, reset=False, dtype=jnp.float
     return q, k, v, gk.astype(dtype)
 
 
+@pytest.mark.parametrize("impl", [gla_chunk, gla_chunk_parallel])
 @pytest.mark.parametrize("reset", [False, True])
 @pytest.mark.parametrize("t", [100, 64, 17])
-def test_chunk_matches_scan(reset, t):
+def test_chunk_matches_scan(impl, reset, t):
     q, k, v, gk = make_inputs(jax.random.PRNGKey(0), t=t, reset=reset)
     o_ref, s_ref = gla_scan_ref(q, k, v, gk)
-    o_chk, s_chk = gla_chunk(q, k, v, gk, chunk_size=32, subchunk_size=8)
+    o_chk, s_chk = impl(q, k, v, gk, chunk_size=32, subchunk_size=8)
     np.testing.assert_allclose(np.asarray(o_chk), np.asarray(o_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref), rtol=2e-4, atol=2e-4)
 
