@@ -36,7 +36,7 @@ Array = jnp.ndarray
 SUB = 16  # sub-chunk (MXU-friendly sublane count, pairwise tile size)
 
 
-def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, state,
+def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
             *, chunk_size: int, scale: float, out_dtype):
     c = pl.program_id(1)
     nc = pl.num_programs(1)
@@ -44,6 +44,9 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, state,
     @pl.when(c == 0)
     def _():
         state[:] = s0_ref[0].astype(jnp.float32)
+
+    # chunk-start state, saved as a backward residual
+    cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
@@ -80,15 +83,132 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, state,
         sf_ref[0] = state[:]
 
 
-def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret):
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
+                dq_ref, dk_ref, dv_ref, dg_ref, ds0_ref, dstate, ssub,
+                *, chunk_size: int, scale: float):
+    """Reverse sweep. Grid (bh, nc) with the chunk axis index-mapped to run
+    newest chunk first; ``dstate`` carries the state cotangent; sub-chunk
+    start states are recomputed forward from the saved chunk-start state.
+
+    Math (per sub-chunk of 16, u = scale*q, lam = exp(bcum),
+    ktil = k*exp(btot - bcum), S_in = sub-chunk start state, dS = cotangent
+    of the NEXT boundary state):
+      dq = scale*lam*(dO S_in^T) + scale*G
+      dk = exp(btot-bcum)*(v dS^T) + H
+      dv = ktil dS + A^T dO
+      db = u*lam*(dO S_in^T) + u*G - k*H - ktil*(v dS^T)
+           [+ at last pos: sum_s(ktil*(v dS^T)) + sum_v(dS*exp(btot)*S_in)]
+      dg = reversed-cumsum(db);  dS <- exp(btot)*dS + (u*lam)^T dO
+    with G[t,d] = sum_s dA[t,s] k[s,d] E[t,s,d],
+         H[s,d] = sum_t dA[t,s] u[t,d] E[t,s,d],
+         E = exp(b_t - b_s) on the lower triangle, dA = (dO v^T) masked.
+    """
+    rc = pl.program_id(1)
+    nc = pl.num_programs(1)
+    ns = chunk_size // SUB
+
+    @pl.when(rc == 0)
+    def _():
+        dstate[:] = dsf_ref[0].astype(jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    tril_inc = (row >= col).astype(jnp.float32)
+    triu_inc = (row <= col).astype(jnp.float32)
+
+    # ---- recompute sub-chunk boundary states (forward mini-sweep) ----
+    S = cs_ref[0, 0].astype(jnp.float32)
+    for i in range(ns):
+        ssub[i] = S
+        sl = pl.ds(i * SUB, SUB)
+        g = g_ref[0, sl, :].astype(jnp.float32)
+        bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
+        btot = bcum[SUB - 1 : SUB, :]
+        k = k_ref[0, sl, :].astype(jnp.float32)
+        v = v_ref[0, sl, :].astype(jnp.float32)
+        kd = k * jnp.exp(btot - bcum)
+        S = S * jnp.exp(btot)[0][:, None] + jnp.dot(
+            kd.T, v, preferred_element_type=jnp.float32
+        )
+
+    # ---- reverse sweep over sub-chunks ----
+    for i in reversed(range(ns)):
+        sl = pl.ds(i * SUB, SUB)
+        g = g_ref[0, sl, :].astype(jnp.float32)
+        bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
+        btot = bcum[SUB - 1 : SUB, :]
+        lam = jnp.exp(bcum)
+        dec_end = jnp.exp(btot - bcum)
+
+        q = q_ref[0, sl, :].astype(jnp.float32)
+        u = q * scale
+        k = k_ref[0, sl, :].astype(jnp.float32)
+        v = v_ref[0, sl, :].astype(jnp.float32)
+        ktil = k * dec_end
+        s_in = ssub[i]
+        do = do_ref[0, sl, :].astype(jnp.float32)
+        dS = dstate[:]
+
+        # inter pieces
+        M = jnp.dot(do, s_in.T, preferred_element_type=jnp.float32)  # (S, dk)
+        dktil = jnp.dot(v, dS.T, preferred_element_type=jnp.float32)  # (S, dk)
+        dq = scale * lam * M
+        dk_out = dec_end * dktil
+        dv = jnp.dot(ktil, dS, preferred_element_type=jnp.float32)
+        db = u * lam * M - ktil * dktil
+
+        # intra pairwise
+        pair = bcum[:, None, :] - bcum[None, :, :]
+        E = jnp.exp(jnp.where((row >= col)[..., None], pair, -jnp.inf))
+        dA = jnp.dot(do, v.T, preferred_element_type=jnp.float32) * tril_inc
+        A = jnp.sum(u[:, None, :] * k[None, :, :] * E, axis=-1)
+        dv = dv + jnp.dot(A.T, do, preferred_element_type=jnp.float32)
+        G = jnp.sum(dA[:, :, None] * k[None, :, :] * E, axis=1)  # (S, dk)
+        H = jnp.sum(dA[:, :, None] * u[:, None, :] * E, axis=0)  # (S, dk)
+        dq = dq + scale * G
+        dk_out = dk_out + H
+        db = db + u * G - k * H
+
+        # last-position extras: btot terms (ktil scaling + state decay)
+        extra = jnp.sum(ktil * dktil, axis=0, keepdims=True) + jnp.sum(
+            dS * jnp.exp(btot)[0][:, None] * s_in, axis=1
+        )[None, :]
+        zero_rows = (row[:, :1] == SUB - 1).astype(jnp.float32)  # (S, 1)
+        db = db + zero_rows * extra
+
+        dg = jnp.dot(triu_inc, db, preferred_element_type=jnp.float32)
+
+        dq_ref[0, sl, :] = dq.astype(dq_ref.dtype)
+        dk_ref[0, sl, :] = dk_out.astype(dk_ref.dtype)
+        dv_ref[0, sl, :] = dv.astype(dv_ref.dtype)
+        dg_ref[0, sl, :] = dg.astype(dg_ref.dtype)
+
+        # carry: cotangent of this sub-chunk's START state
+        dstate[:] = dS * jnp.exp(btot)[0][:, None] + jnp.dot(
+            (u * lam).T, do, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(rc == nc - 1)
+    def _():
+        ds0_ref[0] = dstate[:]
+
+
+def _pad_inputs(q, k, v, gk, chunk_size):
+    t = q.shape[2]
+    pad = (-t) % chunk_size
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return pz(q), pz(k), pz(v), pz(gk)
+    return q, k, v, gk
+
+
+def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
+              residual_dtype=jnp.bfloat16):
     b, h, t, dk = q.shape
     dv = v.shape[-1]
     C = chunk_size
-    pad = (-t) % C
-    if pad:
-        pz = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        q, k, v, gk = pz(q), pz(k), pz(v), pz(gk)
-    T = t + pad
+    q, k, v, gk = _pad_inputs(q, k, v, gk, C)
+    T = q.shape[2]
     nc = T // C
     bh = b * h
 
@@ -99,7 +219,7 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret):
     kern = functools.partial(
         _kernel, chunk_size=C, scale=scale, out_dtype=q.dtype
     )
-    o, sf = pl.pallas_call(
+    o, sf, chunk_states = pl.pallas_call(
         kern,
         grid=(bh, nc),
         in_specs=[
@@ -112,10 +232,15 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret):
         out_specs=[
             pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
             pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, dk, dv), lambda i, c: (i, c, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, T, dv), q.dtype),
             jax.ShapeDtypeStruct((bh, dk, dv), jnp.float32),
+            # chunk-start states: backward residual; bf16 storage halves
+            # the residual footprint (~0.3% relative grad error);
+            # residual_dtype=float32 gives exact grads
+            jax.ShapeDtypeStruct((bh, nc, dk, dv), residual_dtype),
         ],
         scratch_shapes=[pltpu.VMEM((dk, dv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -125,28 +250,91 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret):
     )(q2, k2, v2, g2, s0)
 
     o = o.reshape(b, h, T, dv)[:, :, :t]
-    return o, sf.reshape(b, h, dk, dv)
+    return o, sf.reshape(b, h, dk, dv), chunk_states
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret):
-    return _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret)
+def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret):
+    b, h, t, dk = q.shape
+    dv = v.shape[-1]
+    C = chunk_size
+    q, k, v, gk = _pad_inputs(q, k, v, gk, C)
+    do = jnp.pad(do, ((0, 0), (0, 0), (0, q.shape[2] - t), (0, 0)))
+    T = q.shape[2]
+    nc = T // C
+    bh = b * h
+    ns = C // SUB
 
+    rs = lambda x, d: x.reshape(bh, T, d)
+    q2, k2, v2, g2, do2 = (rs(q, dk), rs(k, dk), rs(v, dv), rs(gk, dk),
+                           rs(do, dv))
+    dsf2 = dsf.reshape(bh, dk, dv).astype(jnp.float32)
 
-def _vjp_fwd(q, k, v, gk, initial_state, scale, chunk_size, interpret):
-    out = _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret)
-    return out, (q, k, v, gk, initial_state)
-
-
-def _vjp_bwd(scale, chunk_size, interpret, residuals, cotangents):
-    q, k, v, gk, initial_state = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v, gk, s0: gla_chunk(
-            q, k, v, gk, initial_state=s0, scale=scale, chunk_size=chunk_size
+    kern = functools.partial(_bwd_kernel, chunk_size=C, scale=scale)
+    rev = lambda i, c: (i, nc - 1 - c, 0)  # newest chunk first
+    dq, dk_, dv_, dg, ds0 = pl.pallas_call(
+        kern,
+        grid=(bh, nc),
+        in_specs=[
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, C, dv), rev),
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, 1, dk, dv), lambda i, c: (i, nc - 1 - c, 0, 0)),
+            pl.BlockSpec((1, C, dv), rev),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, C, dv), rev),
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, T, dk), jnp.float32),
+            jax.ShapeDtypeStruct((bh, T, dk), jnp.float32),
+            jax.ShapeDtypeStruct((bh, T, dv), jnp.float32),
+            jax.ShapeDtypeStruct((bh, T, dk), jnp.float32),
+            jax.ShapeDtypeStruct((bh, dk, dv), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dk, dv), jnp.float32),
+            pltpu.VMEM((ns, dk, dv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
         ),
-        q, k, v, gk, initial_state,
+        interpret=interpret,
+    )(q2, k2, v2, g2, chunk_states, do2, dsf2)
+
+    unp = lambda x, d: x.reshape(b, h, T, d)[:, :, :t]
+    return unp(dq, dk), unp(dk_, dk), unp(dv_, dv), unp(dg, dk), \
+        ds0.reshape(b, h, dk, dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret,
+                      residual_dtype):
+    o, sf, _ = _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size,
+                         interpret, residual_dtype)
+    return o, sf
+
+
+def _vjp_fwd(q, k, v, gk, initial_state, scale, chunk_size, interpret,
+             residual_dtype):
+    o, sf, chunk_states = _fwd_impl(q, k, v, gk, initial_state, scale,
+                                    chunk_size, interpret, residual_dtype)
+    return (o, sf), (q, k, v, gk, chunk_states)
+
+
+def _vjp_bwd(scale, chunk_size, interpret, residual_dtype, residuals, cotangents):
+    q, k, v, gk, chunk_states = residuals
+    do, dsf = cotangents
+    dq, dk, dv, dg, ds0 = _bwd_impl(
+        q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret
     )
-    return vjp(cotangents)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dg.astype(gk.dtype), ds0)
 
 
 _gla_chunk_pallas.defvjp(_vjp_fwd, _vjp_bwd)
@@ -161,8 +349,11 @@ def gla_chunk_pallas(
     scale: Optional[float] = None,
     chunk_size: int = 128,
     interpret: Optional[bool] = None,
+    residual_dtype=jnp.bfloat16,
 ) -> Tuple[Array, Array]:
-    """Drop-in for :func:`lina_speech_tpu.ops.gla.gla_chunk` (Pallas fwd)."""
+    """Drop-in for :func:`lina_speech_tpu.ops.gla.gla_chunk`: Pallas forward
+    AND handwritten Pallas backward (chunk-start states saved as residuals,
+    sub-chunk states recomputed in-kernel)."""
     b, h, t, dk = q.shape
     dv = v.shape[-1]
     if scale is None:
@@ -171,7 +362,8 @@ def gla_chunk_pallas(
         initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret)
+    return _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size,
+                             interpret, residual_dtype)
 
 
 # ---------------------------------------------------------------- decode

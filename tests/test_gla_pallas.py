@@ -28,12 +28,16 @@ def test_pallas_with_initial_state():
     np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), rtol=2e-4, atol=2e-4)
 
 
-def test_pallas_grads_match_xla_path():
-    q, k, v, gk = make_inputs(jax.random.PRNGKey(2), b=1, h=1, t=32, dk=16, dv=16)
-    s0 = jnp.zeros((1, 1, 16, 16), jnp.float32)
+@pytest.mark.parametrize("res_dtype,tol", [(jnp.float32, 1e-3), (jnp.bfloat16, 5e-2)])
+def test_pallas_grads_match_xla_path(res_dtype, tol):
+    """Handwritten Pallas backward vs autodiff-of-scan (exact with fp32
+    residual states; bf16 residuals add ~0.3% relative error)."""
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(2), b=2, h=2, t=60, dk=16, dv=16)
+    s0 = jax.random.normal(jax.random.PRNGKey(8), (2, 2, 16, 16)).astype(jnp.float32)
 
     def loss_pal(q, k, v, gk, s0):
-        o, s = gla_chunk_pallas(q, k, v, gk, initial_state=s0, chunk_size=16, interpret=True)
+        o, s = gla_chunk_pallas(q, k, v, gk, initial_state=s0, chunk_size=16,
+                                interpret=True, residual_dtype=res_dtype)
         return jnp.sum(o ** 2) + jnp.sum(s ** 2)
 
     def loss_ref(q, k, v, gk, s0):
@@ -43,7 +47,9 @@ def test_pallas_grads_match_xla_path():
     g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(q, k, v, gk, s0)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, gk, s0)
     for a, b in zip(g_pal, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
+                                   rtol=tol, atol=tol)
 
 
 def test_fused_decode_matches_reference():
