@@ -66,9 +66,10 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
         o = jnp.dot(q * jnp.exp(bcum), state[:], preferred_element_type=jnp.float32)
 
         # within-sub-chunk pairwise: A[t, s] = sum_d q k exp(b_t - b_s), s <= t
+        # (clamp: the upper triangle would overflow exp; it is masked anyway)
         pair = bcum[:, None, :] - bcum[None, :, :]  # (SUB, SUB, dk), tril <= 0
-        A = jnp.sum(q[:, None, :] * k[None, :, :] * jnp.exp(pair), axis=-1)
-        A = jnp.where(tril_inc > 0, A, 0.0)
+        E = jnp.exp(jnp.minimum(pair, 0.0)) * tril_inc[:, :, None]
+        A = jnp.sum(q[:, None, :] * k[None, :, :] * E, axis=-1)
         o = o + jnp.dot(A, v, preferred_element_type=jnp.float32)
         o_ref[0, sl, :] = o.astype(out_dtype)
 
@@ -157,9 +158,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
         dv = jnp.dot(ktil, dS, preferred_element_type=jnp.float32)
         db = u * lam * M - ktil * dktil
 
-        # intra pairwise
+        # intra pairwise (clamped + f32-masked: Mosaic cannot broadcast an
+        # i1 minor dim, and the masked upper triangle would overflow exp)
         pair = bcum[:, None, :] - bcum[None, :, :]
-        E = jnp.exp(jnp.where((row >= col)[..., None], pair, -jnp.inf))
+        E = jnp.exp(jnp.minimum(pair, 0.0)) * tril_inc[:, :, None]
         dA = jnp.dot(do, v.T, preferred_element_type=jnp.float32) * tril_inc
         A = jnp.sum(u[:, None, :] * k[None, :, :] * E, axis=-1)
         dv = dv + jnp.dot(A.T, do, preferred_element_type=jnp.float32)
