@@ -438,7 +438,7 @@ def gla_decode_fused(
         ],
         input_output_aliases={4: 1} if donate else {},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),  # bh rows are independent
         ),
         interpret=interpret,
     )(q2, k2, v2, g2, s2)
