@@ -360,12 +360,14 @@ def gla_chunk_pallas(
     dv = v.shape[-1]
     if scale is None:
         scale = dk ** -0.5
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
     if initial_state is None:
         initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size,
-                             interpret, residual_dtype)
+    o, sf = _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size,
+                              interpret, residual_dtype)
+    return o, sf.astype(state_dtype)
 
 
 # ---------------------------------------------------------------- decode
