@@ -14,9 +14,12 @@ kernel in the external flash-linear-attention submodule). Design:
   (dk, 16) @ (16, dv) on the MXU.
 - IO in model dtype (bf16-friendly); all accumulation fp32.
 
-Backward: custom_vjp whose bwd differentiates the pure-XLA ``gla_chunk``
-(same math — parity-tested); a handwritten Pallas backward is a later
-optimization.
+Backward: handwritten Pallas kernel (``_bwd_kernel``) — reverse chunk sweep
+with a state-cotangent VMEM carry; sub-chunk boundary states recomputed
+in-kernel from chunk-start residuals saved by the forward. Measured 26%
+faster fwd+bwd than the XLA checkpointed-scan path at 169M training shapes
+(see docs/kernels.md). Also here: ``gla_decode_fused``, the single-pass
+decode step kernel.
 """
 from __future__ import annotations
 
