@@ -173,7 +173,13 @@ class RWKV6Attention(nn.Module):
         dk = self.key_dim // self.num_heads
         dv = self.value_dim // self.num_heads
         shp = lambda z, dh: z.reshape(b, self.num_heads, dh)
-        o, s = rwkv6_decode_step(
+        if jax.default_backend() == "tpu":
+            from lina_speech_tpu.ops.gla_pallas import rwkv6_decode_fused
+
+            step_fn = rwkv6_decode_fused
+        else:
+            step_fn = rwkv6_decode_step
+        o, s = step_fn(
             shp(r, dk), shp(k, dk), shp(v, dv), shp(lw, dk),
             self.time_faaaa, state.s,
         )

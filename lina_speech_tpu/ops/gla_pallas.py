@@ -396,6 +396,73 @@ def _decode_kernel(q_ref, k_ref, v_ref, g_ref, s_ref, o_ref, s_out_ref, *,
     s_out_ref[:] = S.astype(s_out_ref.dtype)
 
 
+def _rwkv6_decode_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, s_ref,
+                         o_ref, s_out_ref):
+    """Single-pass RWKV6 decode: o reads the PRE-update state + u bonus
+    (ops/rwkv6.py semantics), one state read + one state write."""
+    w = w_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    r = r_ref[:].astype(jnp.float32)
+    u = u_ref[:].astype(jnp.float32)
+    S = s_ref[:].astype(jnp.float32)
+    kv = k[:, :, None] * v[:, None, :]
+    o = jnp.sum(r[:, :, None] * (S + u[:, :, None] * kv), axis=1)
+    o_ref[:] = o.astype(o_ref.dtype)
+    s_out_ref[:] = (jnp.exp(w)[:, :, None] * S + kv).astype(s_out_ref.dtype)
+
+
+def rwkv6_decode_fused(
+    r: Array, k: Array, v: Array, w: Array, u: Array, state: Array,
+    interpret: Optional[bool] = None,
+    donate: bool = True,
+) -> Tuple[Array, Array]:
+    """Fused single-token RWKV6 step (drop-in for ops.rwkv6.rwkv6_decode_step).
+
+    r/k/w: (b, h, dk); v: (b, h, dv); u: (h, dk); state: (b, h, dk, dv)."""
+    b, h, dk = r.shape
+    dv = v.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bh = b * h
+    pad = (-bh) % _BH_BLK
+    r2, k2, w2 = (x.reshape(bh, dk) for x in (r, k, w))
+    v2 = v.reshape(bh, dv)
+    u2 = jnp.tile(u, (b, 1))  # (bh, dk): per-head bonus expanded per row
+    s2 = state.reshape(bh, dk, dv)
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        r2, k2, w2, v2, u2, s2 = pz(r2), pz(k2), pz(w2), pz(v2), pz(u2), pz(s2)
+    BH = bh + pad
+
+    o, s_new = pl.pallas_call(
+        _rwkv6_decode_kernel,
+        grid=(BH // _BH_BLK,),
+        in_specs=[
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dv), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BH_BLK, dv), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, dv), r.dtype),
+            jax.ShapeDtypeStruct((BH, dk, dv), state.dtype),
+        ],
+        input_output_aliases={5: 1} if donate else {},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(r2, k2, v2, w2, u2, s2)
+    return o[:bh].reshape(b, h, dv), s_new[:bh].reshape(b, h, dk, dv)
+
+
 def gla_decode_fused(
     q: Array, k: Array, v: Array, gk: Array, state: Array,
     scale: Optional[float] = None,

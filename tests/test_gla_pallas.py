@@ -78,6 +78,25 @@ def test_fused_decode_matches_reference():
         )
 
 
+def test_rwkv6_fused_decode_matches_reference():
+    from lina_speech_tpu.ops.gla_pallas import rwkv6_decode_fused
+    from lina_speech_tpu.ops.rwkv6 import rwkv6_decode_step
+
+    ks = jax.random.split(jax.random.PRNGKey(6), 5)
+    b, h, dk, dv = 2, 2, 32, 64
+    r = jax.random.normal(ks[0], (b, h, dk))
+    k = jax.random.normal(ks[1], (b, h, dk))
+    v = jax.random.normal(ks[2], (b, h, dv))
+    w = -jnp.exp(jax.random.normal(ks[3], (b, h, dk)) * 0.5 - 2.0)
+    u = jax.random.normal(ks[4], (h, dk)) * 0.5
+    state = jax.random.normal(jax.random.PRNGKey(7), (b, h, dk, dv)).astype(jnp.float32)
+    o_a, s_a = rwkv6_decode_step(r, k, v, w, u, state)
+    o_b, s_b = rwkv6_decode_fused(r, k, v, w, u, state, interpret=True,
+                                  donate=False)
+    np.testing.assert_allclose(np.asarray(o_a), np.asarray(o_b), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b), rtol=2e-5, atol=2e-5)
+
+
 def test_pallas_bf16_io():
     q, k, v, gk = make_inputs(jax.random.PRNGKey(3), t=64, dk=32, dv=64, dtype=jnp.bfloat16)
     o, s = gla_chunk_pallas(q, k, v, gk, chunk_size=32, interpret=True)
