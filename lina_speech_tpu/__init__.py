@@ -15,3 +15,21 @@ Reference capability map: see SURVEY.md at the repository root.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (keeps `import lina_speech_tpu` cheap)
+    if name in ("lina_gla_169m", "lina_gla_tiny", "build_model", "ModelConfig",
+                "load_config"):
+        from lina_speech_tpu import config
+
+        return getattr(config, name)
+    if name in ("generate_batch", "cut_outputs"):
+        from lina_speech_tpu import generate
+
+        return getattr(generate, name)
+    if name == "TTSPipeline":
+        from lina_speech_tpu.pipeline import TTSPipeline
+
+        return TTSPipeline
+    raise AttributeError(name)
