@@ -34,6 +34,9 @@ class BackboneConfig:
     remat: bool = False
     cross_att_layers: Tuple[int, ...] = ()  # for the interleaved CrossAttGLA variant
     state_dtype: str = "float32"  # "bfloat16" halves decode HBM traffic
+    # auto: Pallas on TPU, XLA elsewhere. Use "chunk" for tp>1 multi-chip
+    # training (GSPMD cannot partition a pallas_call yet).
+    kernel_mode: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,6 +110,7 @@ def build_model(cfg: ModelConfig):
             use_short_conv=b.use_short_conv, expand_k=b.expand_k,
             expand_v=b.expand_v, pos_type=b.pos_type, chunk_size=b.chunk_size,
             remat=b.remat, dtype=dtype, state_dtype=state_dtype,
+            kernel_mode=b.kernel_mode,
         )
     elif b.kind == "gla":
         rnn = CrossAttGLA(

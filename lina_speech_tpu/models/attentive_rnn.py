@@ -58,7 +58,7 @@ class BackboneState:
 
 def _gla_block(d: int, h: int, use_short_conv: bool, expand_k: float, expand_v: float,
                dropout: float, chunk_size: int, dtype: Any,
-               scalar_gate: bool = False) -> MixingBlock:
+               scalar_gate: bool = False, kernel_mode: str = "auto") -> MixingBlock:
     return MixingBlock(
         tmix=GatedLinearAttention(
             hidden_size=d,
@@ -68,6 +68,7 @@ def _gla_block(d: int, h: int, use_short_conv: bool, expand_k: float, expand_v: 
             expand_v=expand_v,
             chunk_size=chunk_size,
             scalar_gate=scalar_gate,
+            kernel_mode=kernel_mode,
             dtype=dtype,
         ),
         cmix=SwiGLU(d, dtype=dtype),
@@ -249,11 +250,13 @@ class AttentiveGLA(EncoderCrossDecoder):
     expand_v: float = 2.0
     chunk_size: int = 64
     scalar_gate: bool = False
+    kernel_mode: str = "auto"
 
     def _block(self, d: int) -> MixingBlock:
         return _gla_block(
             d, self.heads, self.use_short_conv, self.expand_k, self.expand_v,
             self.dropout, self.chunk_size, self.dtype, self.scalar_gate,
+            self.kernel_mode,
         )
 
     def _layer_state(self, batch_size: int, d: int, dtype: Any) -> GLAState:

@@ -140,6 +140,7 @@ class GatedLinearAttention(nn.Module):
     layernorm_eps: float = 1e-5
     chunk_size: int = 64
     scalar_gate: bool = False
+    kernel_mode: str = "auto"  # auto | chunk | chunk_parallel | chunk_pallas | scan
     dtype: Any = jnp.float32
 
     @property
@@ -262,9 +263,14 @@ class GatedLinearAttention(nn.Module):
 
         s0 = initial_state.s if initial_state is not None else None
         if mode == "auto":
+            mode = self.kernel_mode
+        if mode == "auto":
             # TPU: the Pallas kernel wins fwd+bwd (3.77 vs 5.12 ms at
             # B8 H4 T512 on v5e) and serves prefill/tuning too (returns the
             # final state, differentiable w.r.t. s0). CPU/tests: XLA chunk.
+            # NOTE: under tensor-parallel sharding GSPMD cannot partition a
+            # pallas_call — set kernel_mode="chunk" in the config for tp>1
+            # multi-chip training until a shard_map wrapper lands.
             mode = "chunk_pallas" if jax.default_backend() == "tpu" else "chunk"
         if mode == "chunk_pallas":
             from lina_speech_tpu.ops.gla_pallas import gla_chunk_pallas
