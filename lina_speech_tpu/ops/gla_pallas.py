@@ -40,7 +40,7 @@ SUB = 16  # sub-chunk (MXU-friendly sublane count, pairwise tile size)
 
 
 def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
-            *, chunk_size: int, scale: float, out_dtype):
+            *, chunk_size: int, scale: float, out_dtype, sub: int = SUB):
     c = pl.program_id(1)
     nc = pl.num_programs(1)
 
@@ -51,15 +51,15 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
     # chunk-start state, saved as a backward residual
     cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
     tril_inc = (row >= col).astype(jnp.float32)
 
-    for i in range(chunk_size // SUB):
-        sl = pl.ds(i * SUB, SUB)
-        g = g_ref[0, sl, :].astype(jnp.float32)  # (SUB, dk)
+    for i in range(chunk_size // sub):
+        sl = pl.ds(i * sub, sub)
+        g = g_ref[0, sl, :].astype(jnp.float32)  # (sub, dk)
         bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
-        btot = bcum[SUB - 1 : SUB, :]  # (1, dk)
+        btot = bcum[sub - 1 : sub, :]  # (1, dk)
 
         q = q_ref[0, sl, :].astype(jnp.float32) * scale
         k = k_ref[0, sl, :].astype(jnp.float32)
@@ -89,7 +89,7 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
                 dq_ref, dk_ref, dv_ref, dg_ref, ds0_ref, dstate, ssub,
-                *, chunk_size: int, scale: float):
+                *, chunk_size: int, scale: float, sub: int = SUB):
     """Reverse sweep. Grid (bh, nc) with the chunk axis index-mapped to run
     newest chunk first; ``dstate`` carries the state cotangent; sub-chunk
     start states are recomputed forward from the saved chunk-start state.
@@ -109,14 +109,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
     """
     rc = pl.program_id(1)
     nc = pl.num_programs(1)
-    ns = chunk_size // SUB
+    ns = chunk_size // sub
 
     @pl.when(rc == 0)
     def _():
         dstate[:] = dsf_ref[0].astype(jnp.float32)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
     tril_inc = (row >= col).astype(jnp.float32)
     triu_inc = (row <= col).astype(jnp.float32)
 
@@ -124,10 +124,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
     S = cs_ref[0, 0].astype(jnp.float32)
     for i in range(ns):
         ssub[i] = S
-        sl = pl.ds(i * SUB, SUB)
+        sl = pl.ds(i * sub, sub)
         g = g_ref[0, sl, :].astype(jnp.float32)
         bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
-        btot = bcum[SUB - 1 : SUB, :]
+        btot = bcum[sub - 1 : sub, :]
         k = k_ref[0, sl, :].astype(jnp.float32)
         v = v_ref[0, sl, :].astype(jnp.float32)
         kd = k * jnp.exp(btot - bcum)
@@ -137,10 +137,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
 
     # ---- reverse sweep over sub-chunks ----
     for i in reversed(range(ns)):
-        sl = pl.ds(i * SUB, SUB)
+        sl = pl.ds(i * sub, sub)
         g = g_ref[0, sl, :].astype(jnp.float32)
         bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
-        btot = bcum[SUB - 1 : SUB, :]
+        btot = bcum[sub - 1 : sub, :]
         lam = jnp.exp(bcum)
         dec_end = jnp.exp(btot - bcum)
 
@@ -178,7 +178,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
         extra = jnp.sum(ktil * dktil, axis=0, keepdims=True) + jnp.sum(
             dS * jnp.exp(btot)[0][:, None] * s_in, axis=1
         )[None, :]
-        zero_rows = (row[:, :1] == SUB - 1).astype(jnp.float32)  # (S, 1)
+        zero_rows = (row[:, :1] == sub - 1).astype(jnp.float32)  # (sub, 1)
         db = db + zero_rows * extra
 
         dg = jnp.dot(triu_inc, db, preferred_element_type=jnp.float32)
@@ -208,7 +208,7 @@ def _pad_inputs(q, k, v, gk, chunk_size):
 
 
 def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-              residual_dtype=jnp.bfloat16):
+              residual_dtype=jnp.bfloat16, sub=SUB):
     b, h, t, dk = q.shape
     dv = v.shape[-1]
     C = chunk_size
@@ -222,7 +222,7 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
     s0 = initial_state.reshape(bh, dk, dv).astype(jnp.float32)
 
     kern = functools.partial(
-        _kernel, chunk_size=C, scale=scale, out_dtype=q.dtype
+        _kernel, chunk_size=C, scale=scale, out_dtype=q.dtype, sub=sub
     )
     o, sf, chunk_states = pl.pallas_call(
         kern,
@@ -258,7 +258,8 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
     return o, sf.reshape(b, h, dk, dv), chunk_states
 
 
-def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret):
+def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret,
+              sub=SUB):
     b, h, t, dk = q.shape
     dv = v.shape[-1]
     C = chunk_size
@@ -267,14 +268,14 @@ def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret):
     T = q.shape[2]
     nc = T // C
     bh = b * h
-    ns = C // SUB
+    ns = C // sub
 
     rs = lambda x, d: x.reshape(bh, T, d)
     q2, k2, v2, g2, do2 = (rs(q, dk), rs(k, dk), rs(v, dv), rs(gk, dk),
                            rs(do, dv))
     dsf2 = dsf.reshape(bh, dk, dv).astype(jnp.float32)
 
-    kern = functools.partial(_bwd_kernel, chunk_size=C, scale=scale)
+    kern = functools.partial(_bwd_kernel, chunk_size=C, scale=scale, sub=sub)
     rev = lambda i, c: (i, nc - 1 - c, 0)  # newest chunk first
     dq, dk_, dv_, dg, ds0 = pl.pallas_call(
         kern,
@@ -317,26 +318,27 @@ def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret):
         ds0.reshape(b, h, dk, dv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-                      residual_dtype):
+                      residual_dtype, sub):
     o, sf, _ = _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size,
-                         interpret, residual_dtype)
+                         interpret, residual_dtype, sub)
     return o, sf
 
 
 def _vjp_fwd(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-             residual_dtype):
+             residual_dtype, sub):
     o, sf, chunk_states = _fwd_impl(q, k, v, gk, initial_state, scale,
-                                    chunk_size, interpret, residual_dtype)
+                                    chunk_size, interpret, residual_dtype, sub)
     return (o, sf), (q, k, v, gk, chunk_states)
 
 
-def _vjp_bwd(scale, chunk_size, interpret, residual_dtype, residuals, cotangents):
+def _vjp_bwd(scale, chunk_size, interpret, residual_dtype, sub, residuals,
+             cotangents):
     q, k, v, gk, chunk_states = residuals
     do, dsf = cotangents
     dq, dk, dv, dg, ds0 = _bwd_impl(
-        q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret
+        q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret, sub
     )
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dg.astype(gk.dtype), ds0)
@@ -355,6 +357,7 @@ def gla_chunk_pallas(
     chunk_size: int = 128,
     interpret: Optional[bool] = None,
     residual_dtype=jnp.bfloat16,
+    subchunk_size: int = SUB,
 ) -> Tuple[Array, Array]:
     """Drop-in for :func:`lina_speech_tpu.ops.gla.gla_chunk`: Pallas forward
     AND handwritten Pallas backward (chunk-start states saved as residuals,
@@ -369,7 +372,7 @@ def gla_chunk_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     o, sf = _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size,
-                              interpret, residual_dtype)
+                              interpret, residual_dtype, subchunk_size)
     return o, sf.astype(state_dtype)
 
 
