@@ -265,12 +265,11 @@ class GatedLinearAttention(nn.Module):
         if mode == "auto":
             mode = self.kernel_mode
         if mode == "auto":
-            # TPU: the Pallas kernel wins fwd+bwd (3.77 vs 5.12 ms at
+            # TPU: the Pallas kernel wins fwd+bwd (3.15 vs 5.12 ms at
             # B8 H4 T512 on v5e) and serves prefill/tuning too (returns the
-            # final state, differentiable w.r.t. s0). CPU/tests: XLA chunk.
-            # NOTE: under tensor-parallel sharding GSPMD cannot partition a
-            # pallas_call — set kernel_mode="chunk" in the config for tp>1
-            # multi-chip training until a shard_map wrapper lands.
+            # final state, differentiable w.r.t. s0). It carries a
+            # custom-partitioning rule (batch/head-parallel), so it shards
+            # under dp x tp meshes too. CPU/tests: XLA chunk.
             mode = "chunk_pallas" if jax.default_backend() == "tpu" else "chunk"
         if mode == "chunk_pallas":
             from lina_speech_tpu.ops.gla_pallas import gla_chunk_pallas

@@ -255,7 +255,8 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
     )(q2, k2, v2, g2, s0)
 
     o = o.reshape(b, h, T, dv)[:, :, :t]
-    return o, sf.reshape(b, h, dk, dv), chunk_states
+    return (o, sf.reshape(b, h, dk, dv),
+            chunk_states.reshape(b, h, nc, dk, dv))
 
 
 def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret,
@@ -274,6 +275,7 @@ def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret,
     q2, k2, v2, g2, do2 = (rs(q, dk), rs(k, dk), rs(v, dv), rs(gk, dk),
                            rs(do, dv))
     dsf2 = dsf.reshape(bh, dk, dv).astype(jnp.float32)
+    chunk_states = chunk_states.reshape(bh, nc, dk, dv)
 
     kern = functools.partial(_bwd_kernel, chunk_size=C, scale=scale, sub=sub)
     rev = lambda i, c: (i, nc - 1 - c, 0)  # newest chunk first
@@ -318,18 +320,131 @@ def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret,
         ds0.reshape(b, h, dk, dv)
 
 
+# ------------------------------------------------------------ partitioning
+# GSPMD/Shardy cannot see inside a pallas_call, so under a sharded jit the
+# kernel would otherwise force full replication (the reference sidesteps
+# this entirely: its Triton kernels run under torch DDP, one process per
+# GPU). The scan is embarrassingly parallel over (batch, heads) — exactly
+# the model's dp x tp layout — so we register a custom-partitioning rule:
+# shard b/h through unchanged, replicate t/d_k/d_v, run the kernel on the
+# local shard. No collectives are needed inside the op.
+
+
+def _bh_axes(arg_info, mesh):
+    """(batch, head) mesh axes of the q operand, or (None, None) when the
+    incoming sharding can't be honored by the per-shard kernel (e.g. Shardy
+    proposes heads=2 split over tp=4 — uneven shardings decode to no
+    PartitionSpec). Dropped axes replicate the dim; the partitioner then
+    inserts the reshard — mirrors the shape-aware fallback of the param
+    rules in parallel/sharding.py. We decode the HloSharding ourselves
+    (decode_shardings=False) because jax's own decoding raises on the
+    uneven case instead of falling back."""
+    sharding = arg_info.sharding
+    spec = getattr(sharding, "spec", None)
+    if spec is None:
+        try:
+            from jax._src.sharding_impls import parse_flatten_op_sharding
+            spec = parse_flatten_op_sharding(sharding._hlo_sharding, mesh)[0]
+        except Exception:
+            return None, None
+    s = tuple(spec) + (None,) * 4
+
+    def keep(axis, dim):
+        if axis is None:
+            return None
+        names = axis if isinstance(axis, tuple) else (axis,)
+        size = int(np.prod([mesh.shape[n] for n in names]))
+        return axis if dim % size == 0 else None
+
+    return keep(s[0], arg_info.shape[0]), keep(s[1], arg_info.shape[1])
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(scale, chunk_size, interpret, residual_dtype, sub):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(q, k, v, gk, s0):
+        return _fwd_impl(q, k, v, gk, s0, scale, chunk_size, interpret,
+                         residual_dtype, sub)
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, ha, None, None), mk(ba, ha, None, None),
+                mk(ba, ha, None, None, None))
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = (mk(ba, ha, None, None),) * 5
+        outs = (mk(ba, ha, None, None), mk(ba, ha, None, None),
+                mk(ba, ha, None, None, None))
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h t k, b h t k, b h t v, b h t k, b h k v "
+                      "-> b h t v, b h k v, b h c k v",
+        need_replication_factors=("t", "k", "v", "c"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(scale, chunk_size, interpret, sub):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(q, k, v, gk, chunk_states, do, dsf):
+        return _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale,
+                         chunk_size, interpret, sub)
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, ha, None, None),) * 4 + (mk(ba, ha, None, None),)
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = ((mk(ba, ha, None, None),) * 4
+                + (mk(ba, ha, None, None, None),)
+                + (mk(ba, ha, None, None),) * 2)
+        outs = (mk(ba, ha, None, None),) * 5
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h t k, b h t k, b h t v, b h t k, b h c k v, "
+                      "b h t v, b h k v "
+                      "-> b h t k, b h t k, b h t v, b h t k, b h k v",
+        need_replication_factors=("t", "k", "v", "c"),
+    )
+    return cp
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret,
                       residual_dtype, sub):
-    o, sf, _ = _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size,
-                         interpret, residual_dtype, sub)
+    o, sf, _ = _fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
+                                sub)(q, k, v, gk, initial_state)
     return o, sf
 
 
 def _vjp_fwd(q, k, v, gk, initial_state, scale, chunk_size, interpret,
              residual_dtype, sub):
-    o, sf, chunk_states = _fwd_impl(q, k, v, gk, initial_state, scale,
-                                    chunk_size, interpret, residual_dtype, sub)
+    o, sf, chunk_states = _fwd_partitioned(
+        scale, chunk_size, interpret, residual_dtype, sub
+    )(q, k, v, gk, initial_state)
     return (o, sf), (q, k, v, gk, chunk_states)
 
 
@@ -337,8 +452,8 @@ def _vjp_bwd(scale, chunk_size, interpret, residual_dtype, sub, residuals,
              cotangents):
     q, k, v, gk, chunk_states = residuals
     do, dsf = cotangents
-    dq, dk, dv, dg, ds0 = _bwd_impl(
-        q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret, sub
+    dq, dk, dv, dg, ds0 = _bwd_partitioned(scale, chunk_size, interpret, sub)(
+        q, k, v, gk, chunk_states, do, dsf
     )
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dg.astype(gk.dtype), ds0)

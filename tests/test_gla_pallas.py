@@ -105,3 +105,32 @@ def test_pallas_bf16_io():
     np.testing.assert_allclose(
         np.asarray(o, np.float32), np.asarray(o_ref, np.float32), rtol=0.1, atol=0.1
     )
+
+
+def test_pallas_shards_over_batch_and_heads():
+    """The custom-partitioning rule runs the kernel per-shard on a dp x tp
+    mesh (no all-gather of the sequence), with grads matching the
+    single-device path exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(4), b=4, h=2, t=64, dk=16, dv=16)
+    s0 = jax.random.normal(jax.random.PRNGKey(9), (4, 2, 16, 16)).astype(jnp.float32)
+
+    def loss(args):
+        o, s = gla_chunk_pallas(*args, chunk_size=16, interpret=True,
+                                residual_dtype=jnp.float32)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    args = (q, k, v, gk, s0)
+    l_ref, g_ref = jax.value_and_grad(loss)(args)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    sh = NamedSharding(mesh, P("dp", "tp", None, None))
+    args_s = tuple(jax.device_put(a, sh) for a in args)
+    f = jax.jit(jax.value_and_grad(loss))
+    l_s, g_s = f(args_s)
+
+    np.testing.assert_allclose(float(l_s), float(l_ref), rtol=1e-5)
+    for a, b in zip(g_s, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+    assert "all-gather" not in f.lower(args_s).compile().as_text()

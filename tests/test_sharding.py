@@ -16,13 +16,18 @@ from lina_speech_tpu.parallel import (
 from lina_speech_tpu.train import TrainConfig, create_train_state, make_train_step
 
 
-@pytest.mark.parametrize("kind", ["gla", "rwkv6", "mamba"])
+@pytest.mark.parametrize("kind", ["gla", "rwkv6", "mamba", "gla-pallas"])
 def test_sharded_train_step(kind):
+    """gla-pallas exercises the Pallas kernel's custom-partitioning rule in
+    the full dp x tp train step (interpret mode on the CPU mesh)."""
+    kernel_mode = "chunk_pallas" if kind == "gla-pallas" else "auto"
+    kind = "gla" if kind == "gla-pallas" else kind
     mesh = make_mesh(MeshConfig(dp=4, tp=2))
     cfg = lina_gla_tiny()
     cfg = dataclasses.replace(
         cfg, n_codebook=61,  # head vocab 64 divisible by tp
-        backbone=dataclasses.replace(cfg.backbone, kind=kind, blind=True),
+        backbone=dataclasses.replace(cfg.backbone, kind=kind, blind=True,
+                                     kernel_mode=kernel_mode),
     )
     model = build_model(cfg)
     b, m, n = 4, 8, 17
