@@ -530,18 +530,9 @@ def _rwkv6_decode_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, s_ref,
     s_out_ref[:] = (jnp.exp(w)[:, :, None] * S + kv).astype(s_out_ref.dtype)
 
 
-def rwkv6_decode_fused(
-    r: Array, k: Array, v: Array, w: Array, u: Array, state: Array,
-    interpret: Optional[bool] = None,
-    donate: bool = True,
-) -> Tuple[Array, Array]:
-    """Fused single-token RWKV6 step (drop-in for ops.rwkv6.rwkv6_decode_step).
-
-    r/k/w: (b, h, dk); v: (b, h, dv); u: (h, dk); state: (b, h, dk, dv)."""
+def _rwkv6_decode_impl(r, k, v, w, u, state, interpret, donate):
     b, h, dk = r.shape
     dv = v.shape[-1]
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
     bh = b * h
     pad = (-bh) % _BH_BLK
     r2, k2, w2 = (x.reshape(bh, dk) for x in (r, k, w))
@@ -581,23 +572,9 @@ def rwkv6_decode_fused(
     return o[:bh].reshape(b, h, dv), s_new[:bh].reshape(b, h, dk, dv)
 
 
-def gla_decode_fused(
-    q: Array, k: Array, v: Array, gk: Array, state: Array,
-    scale: Optional[float] = None,
-    interpret: Optional[bool] = None,
-    donate: bool = True,
-) -> Tuple[Array, Array]:
-    """Fused single-token GLA step (drop-in for ops.gla.gla_decode_step).
-
-    q/k/gk: (b, h, dk); v: (b, h, dv); state: (b, h, dk, dv) any float dtype
-    (bf16 halves the traffic). The state buffer is aliased in-place.
-    """
+def _gla_decode_impl(q, k, v, gk, state, scale, interpret, donate):
     b, h, dk = q.shape
     dv = v.shape[-1]
-    if scale is None:
-        scale = dk ** -0.5
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
     bh = b * h
     pad = (-bh) % _BH_BLK
     q2, k2, g2 = (x.reshape(bh, dk) for x in (q, k, gk))
@@ -634,3 +611,103 @@ def gla_decode_fused(
     )(q2, k2, v2, g2, s2)
     o = o[:bh].reshape(b, h, dv)
     return o, s_new[:bh].reshape(b, h, dk, dv)
+
+@functools.lru_cache(maxsize=None)
+def _gla_decode_partitioned(scale, interpret, donate):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(q, k, v, gk, state):
+        return _gla_decode_impl(q, k, v, gk, state, scale, interpret, donate)
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return mk(ba, ha, None), mk(ba, ha, None, None)
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = (mk(ba, ha, None),) * 4 + (mk(ba, ha, None, None),)
+        outs = (mk(ba, ha, None), mk(ba, ha, None, None))
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h k, b h k, b h v, b h k, b h k v "
+                      "-> b h v, b h k v",
+        need_replication_factors=("k", "v"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _rwkv6_decode_partitioned(interpret, donate):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(r, k, v, w, u, state):
+        return _rwkv6_decode_impl(r, k, v, w, u, state, interpret, donate)
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return mk(ba, ha, None), mk(ba, ha, None, None)
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = ((mk(ba, ha, None),) * 4
+                + (mk(ha, None),)            # u: (h, dk) per-head bonus
+                + (mk(ba, ha, None, None),))
+        outs = (mk(ba, ha, None), mk(ba, ha, None, None))
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h k, b h k, b h v, b h k, h k, b h k v "
+                      "-> b h v, b h k v",
+        need_replication_factors=("k", "v"),
+    )
+    return cp
+
+
+def gla_decode_fused(
+    q: Array, k: Array, v: Array, gk: Array, state: Array,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    donate: bool = True,
+) -> Tuple[Array, Array]:
+    """Fused single-token GLA step (drop-in for ops.gla.gla_decode_step).
+
+    q/k/gk: (b, h, dk); v: (b, h, dv); state: (b, h, dk, dv) any float dtype
+    (bf16 halves the traffic). The state buffer is aliased in-place. Carries
+    the same (batch, heads) custom-partitioning rule as the chunk kernel,
+    so sharded generation keeps the state distributed."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _gla_decode_partitioned(scale, interpret, donate)(q, k, v, gk, state)
+
+
+def rwkv6_decode_fused(
+    r: Array, k: Array, v: Array, w: Array, u: Array, state: Array,
+    interpret: Optional[bool] = None,
+    donate: bool = True,
+) -> Tuple[Array, Array]:
+    """Fused single-token RWKV6 step (drop-in for ops.rwkv6.rwkv6_decode_step).
+
+    r/k/w: (b, h, dk); v: (b, h, dv); u: (h, dk); state: (b, h, dk, dv).
+    Same (batch, heads) custom-partitioning rule as the GLA decode."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _rwkv6_decode_partitioned(interpret, donate)(r, k, v, w, u, state)

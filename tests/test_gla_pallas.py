@@ -134,3 +134,36 @@ def test_pallas_shards_over_batch_and_heads():
     for a, b in zip(g_s, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
     assert "all-gather" not in f.lower(args_s).compile().as_text()
+
+
+def test_fused_decode_shards_over_batch_and_heads():
+    """The fused decode kernels partition over a dp x tp mesh, keeping the
+    recurrent state distributed (no all-gather of (b, h, dk, dv))."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from lina_speech_tpu.ops.gla_pallas import gla_decode_fused
+    from lina_speech_tpu.ops.gla import gla_decode_step
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    b, h, dk, dv = 4, 2, 16, 32
+    q = jax.random.normal(ks[0], (b, h, dk))
+    k = jax.random.normal(ks[1], (b, h, dk))
+    v = jax.random.normal(ks[2], (b, h, dv))
+    g = -jnp.abs(jax.random.normal(ks[3], (b, h, dk))) * 0.1
+    s = jax.random.normal(jax.random.PRNGKey(12), (b, h, dk, dv)).astype(jnp.float32)
+
+    o_ref, s_ref = gla_decode_step(q, k, v, g, s)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    sh3 = NamedSharding(mesh, P("dp", "tp", None))
+    sh4 = NamedSharding(mesh, P("dp", "tp", None, None))
+    args = (jax.device_put(q, sh3), jax.device_put(k, sh3),
+            jax.device_put(v, sh3), jax.device_put(g, sh3),
+            jax.device_put(s, sh4))
+    f = jax.jit(lambda *a: gla_decode_fused(*a, interpret=True, donate=False))
+    o_s, s_s = f(*args)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_ref), rtol=2e-5, atol=2e-5)
+    txt = f.lower(*args).compile().as_text()
+    assert "all-gather" not in txt
+    # the new state comes back still sharded over the mesh
+    assert s_s.sharding.is_equivalent_to(sh4, 4)
