@@ -37,6 +37,9 @@ def make_mesh(config: Optional[MeshConfig] = None,
     tp = config.tp
     dp = config.dp if config.dp != -1 else n // tp
     if dp * tp != n:
-        raise ValueError(f"mesh {dp}x{tp} != {n} devices")
+        raise ValueError(
+            f"mesh {dp}x{tp} != {n} devices (for a virtual CPU mesh set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp} "
+            f"and the cpu platform)")
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))

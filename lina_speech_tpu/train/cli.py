@@ -174,7 +174,14 @@ def main(argv=None):
     f.add_argument("--eval-every", type=int, default=0)
     f.add_argument("--log-every", type=int, default=10)
     f.add_argument("--log-file", type=str, default=None)
+    f.add_argument("--platform", type=str, default=None,
+                   help="force a jax backend (e.g. 'cpu' for a virtual mesh "
+                        "with XLA_FLAGS=--xla_force_host_platform_device_count"
+                        "=N); more reliable than JAX_PLATFORMS, which site "
+                        "hooks can override")
     args = p.parse_args(argv)
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     if args.cmd == "fit":
         fit(args)
 

@@ -92,7 +92,12 @@ def main(argv=None):
     f.add_argument("--ckpt-dir", type=str, default=None)
     f.add_argument("--log-every", type=int, default=10)
     f.add_argument("--log-file", type=str, default=None)
+    f.add_argument("--platform", type=str, default=None,
+                   help="force a jax backend (e.g. 'cpu'); more reliable "
+                        "than JAX_PLATFORMS, which site hooks can override")
     args = p.parse_args(argv)
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     if args.cmd == "fit":
         fit(args)
 
