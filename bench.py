@@ -1,9 +1,20 @@
-"""Benchmark: batched AR codec-token decode throughput on the flagship model.
+"""Benchmark: decode throughput (b64 + b1) and training throughput on the
+flagship Lina-GLA 169M model, one chip.
 
-Prints ONE JSON line: aggregate real-time factor at batch 64 on one chip
-(75 codec tokens/s == 1x realtime per stream, WavTokenizer rate,
-reference README.md:31). Baseline target: >= 10x realtime per chip at
-batch 64 (BASELINE.md targets) -> vs_baseline = rtf / 10.
+Prints ONE JSON line. Headline metric: aggregate real-time factor at batch
+64 (75 codec tokens/s == 1x realtime per stream, WavTokenizer rate,
+reference README.md:31); target >= 10x realtime per chip (BASELINE.md) ->
+vs_baseline = rtf / 10. The same line carries ``extra_metrics`` with
+batch-1 decode tokens/s (vs 75 = 1x realtime) and training tokens/s/chip
+(vs the round-1 measured 28,240), so every round's BENCH_r*.json records
+all three axes.
+
+Phases are env-gated: BENCH_B1=0 / BENCH_TRAIN=0 skip the extras;
+BENCH_STEPS / BENCH_BATCH / BENCH_TRAIN_BATCH / BENCH_TRAIN_LEN size them.
+
+Timing note (axon remote-TPU): ``block_until_ready`` over the tunnel has
+been observed returning before the work completes; every phase therefore
+times a host fetch of a scalar reduction.
 """
 from __future__ import annotations
 
@@ -13,6 +24,67 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+CODEC_HZ = 75.0
+
+
+def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int):
+    from lina_speech_tpu.generate import generate_batch
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (batch, text_len), 3, cfg.n_txt_vocab)
+
+    def run(k):
+        return generate_batch(
+            model, params, x, k, max_seqlen=steps, k=100,
+            force_max_seqlen=True,
+        )
+
+    # compile + warmup (checksum forces a host fetch)
+    res = run(jax.random.PRNGKey(2))
+    int(jnp.asarray(res.tokens).sum())
+
+    t0 = time.perf_counter()
+    res = run(jax.random.PRNGKey(3))
+    int(jnp.asarray(res.tokens).sum())
+    dt = time.perf_counter() - t0
+    return steps / dt, dt  # tokens/s per stream, seconds
+
+
+def _bench_train(cfg, batch: int, seqlen: int, text_len: int, steps: int):
+    from lina_speech_tpu.config import build_model
+    from lina_speech_tpu.train import TrainConfig, create_train_state, make_train_step
+
+    model = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (batch, text_len), 3, cfg.n_txt_vocab)
+    y = jax.random.randint(key, (batch, seqlen, cfg.n_quant), 3, cfg.n_codebook + 3)
+    batch_d = {
+        "text_token": x,
+        "audio_token": y,
+        "encoder_mask": jnp.ones((batch, text_len, text_len), bool),
+        "crossatt_mask": jnp.ones((batch, seqlen, text_len), bool),
+        "y_mask": jnp.ones((batch, seqlen), bool),
+    }
+    params = model.init(jax.random.PRNGKey(1), x, y[:, :16],
+                        batch_d["encoder_mask"],
+                        jnp.ones((batch, 16, text_len), bool),
+                        jnp.ones((batch, 16), bool))
+    state = create_train_state(model, params, TrainConfig())
+    train_step = make_train_step(model)
+    rng = jax.random.PRNGKey(2)
+
+    # compile + 2 warmup steps
+    for _ in range(2):
+        state, metrics = train_step(state, batch_d, rng)
+        float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch_d, rng)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return batch * seqlen * steps / dt, dt / steps
 
 
 def main():
@@ -26,12 +98,12 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "256"))
     text_len = int(os.environ.get("BENCH_TEXT_LEN", "32"))
-    codec_hz = 75.0
+    do_b1 = os.environ.get("BENCH_B1", "1") == "1" and batch > 1
+    do_train = os.environ.get("BENCH_TRAIN", "1") == "1"
 
     import dataclasses
 
     from lina_speech_tpu.config import lina_gla_169m, build_model
-    from lina_speech_tpu.generate import generate_batch
 
     cfg = lina_gla_169m(compute_dtype="bfloat16")
     state_dtype = os.environ.get("BENCH_STATE_DTYPE", "bfloat16")
@@ -41,33 +113,53 @@ def main():
     model = build_model(cfg)
 
     key = jax.random.PRNGKey(0)
-    x = jax.random.randint(key, (batch, text_len), 3, cfg.n_txt_vocab)
     bi = min(2, batch)
+    xi = jax.random.randint(key, (bi, text_len), 3, cfg.n_txt_vocab)
     y = jax.random.randint(key, (bi, 16, cfg.n_quant), 3, cfg.n_codebook + 3)
     params = model.init(
         jax.random.PRNGKey(1),
-        x[:bi], y, jnp.ones((bi, text_len, text_len), bool),
+        xi, y, jnp.ones((bi, text_len, text_len), bool),
         jnp.ones((bi, 16, text_len), bool), jnp.ones((bi, 16), bool),
     )
 
-    def run(k):
-        return generate_batch(
-            model, params, x, k, max_seqlen=steps, k=100,
-            force_max_seqlen=True,
-        )
+    tok_s_stream, dt = _bench_decode(model, params, cfg, batch, steps, text_len)
+    rtf = batch * tok_s_stream / CODEC_HZ
 
-    # compile + warmup (checksum forces a host fetch: block_until_ready over
-    # the remote-TPU tunnel has been observed returning before work completes)
-    res = run(jax.random.PRNGKey(2))
-    int(jnp.asarray(res.tokens).sum())
+    extra = []
+    detail = {
+        "steps": steps,
+        "seconds": round(dt, 3),
+        "codec_tokens_per_sec_per_stream": round(tok_s_stream, 1),
+        "codec_tokens_per_sec_total": round(batch * tok_s_stream, 1),
+        "state_dtype": state_dtype,
+        "device": str(jax.devices()[0]),
+    }
 
-    t0 = time.perf_counter()
-    res = run(jax.random.PRNGKey(3))
-    int(jnp.asarray(res.tokens).sum())
-    dt = time.perf_counter() - t0
+    if do_b1:
+        b1_tok_s, _ = _bench_decode(model, params, cfg, 1, steps, text_len)
+        extra.append({
+            "metric": "decode_tokens_per_sec_b1",
+            "value": round(b1_tok_s, 1),
+            "unit": "codec_tokens_per_sec",
+            # 75 tok/s == 1x single-stream realtime
+            "vs_baseline": round(b1_tok_s / CODEC_HZ, 3),
+        })
 
-    tokens_per_sec_per_stream = steps / dt
-    rtf = batch * tokens_per_sec_per_stream / codec_hz
+    if do_train:
+        tb = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+        tl = int(os.environ.get("BENCH_TRAIN_LEN", "512"))
+        ts = int(os.environ.get("BENCH_TRAIN_STEPS", "8"))
+        train_tok_s, step_s = _bench_train(cfg, tb, tl, text_len, ts)
+        extra.append({
+            "metric": "train_tokens_per_sec_per_chip",
+            "value": round(train_tok_s, 0),
+            "unit": "tokens_per_sec",
+            # round-1 measured baseline: 28,240 tok/s/chip (BASELINE.md)
+            "vs_baseline": round(train_tok_s / 28240.0, 3),
+            "detail": {"batch": tb, "seqlen": tl,
+                       "ms_per_step": round(step_s * 1e3, 1)},
+        })
+
     print(
         json.dumps(
             {
@@ -75,14 +167,8 @@ def main():
                 "value": round(rtf, 2),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtf / 10.0, 3),
-                "detail": {
-                    "steps": steps,
-                    "seconds": round(dt, 3),
-                    "codec_tokens_per_sec_per_stream": round(tokens_per_sec_per_stream, 1),
-                    "codec_tokens_per_sec_total": round(batch * tokens_per_sec_per_stream, 1),
-                    "state_dtype": state_dtype,
-                    "device": str(jax.devices()[0]),
-                },
+                "detail": detail,
+                "extra_metrics": extra,
             }
         )
     )

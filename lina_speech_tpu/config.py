@@ -34,8 +34,17 @@ class BackboneConfig:
     remat: bool = False
     cross_att_layers: Tuple[int, ...] = ()  # for the interleaved CrossAttGLA variant
     state_dtype: str = "float32"  # "bfloat16" halves decode HBM traffic
-    # auto: Pallas on TPU, XLA elsewhere. Use "chunk" for tp>1 multi-chip
-    # training (GSPMD cannot partition a pallas_call yet).
+    # Kernel dispatch (training chunk scan AND the decode step):
+    #   auto         — Pallas kernels on TPU, XLA elsewhere (backend probed
+    #                  at trace time; override explicitly when tracing a
+    #                  program for a different platform than the default
+    #                  backend, e.g. under the ambient remote-TPU backend).
+    #   chunk_pallas — force the Pallas kernels everywhere (interpret mode
+    #                  off-TPU; exercises their sharding rules in CPU tests).
+    #   chunk        — force the XLA chunk scan + XLA decode step.
+    #   scan         — naive lax.scan oracle (tests only).
+    # All Pallas kernels carry custom-partitioning rules and shard under
+    # dp x tp meshes; no fallback is needed for multi-chip training.
     kernel_mode: str = "auto"
 
 

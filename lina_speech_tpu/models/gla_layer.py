@@ -328,12 +328,17 @@ class GatedLinearAttention(nn.Module):
         gk = self._raw_gates(h_t)
 
         hsplit = lambda z, d: z.reshape(b, self.num_heads, d)
-        if jax.default_backend() == "tpu" or self.kernel_mode == "chunk_pallas":
+        use_fused = self.kernel_mode == "chunk_pallas" or (
+            self.kernel_mode == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_fused:
             # fused single-pass kernel: one state read + one write (the
             # unfused XLA lowering reads the state ~3x; state traffic IS the
             # decode cost at large batch). kernel_mode="chunk_pallas" forces
             # it off-TPU too (interpret mode) — used to exercise the kernel's
-            # sharding rule in CPU-mesh tests.
+            # sharding rule in CPU-mesh tests; kernel_mode="chunk"/"scan" is
+            # the explicit XLA escape when the trace-time default backend
+            # doesn't match the intended platform (e.g. ambient remote TPU).
             from lina_speech_tpu.ops.gla_pallas import gla_decode_fused
 
             step_fn = gla_decode_fused

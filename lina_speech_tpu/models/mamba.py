@@ -8,8 +8,9 @@ d_conv=4, expand=2 (mamba.py:46-55).
 
 The scan runs as a log-depth ``associative_scan`` (ops/mamba.py) in
 training and a fused single step in decode; state = conv ring buffer +
-(d_inner, d_state) SSM state. The reference's Mamba2/SSD variant is not yet
-implemented (version=1 only).
+(d_inner, d_state) SSM state. The Mamba2/SSD variant also lives here
+(``Mamba2Mixer`` / ``AttentiveMamba2``; config kind="mamba2") — scalar
+per-head decay, multi-head state, grouped B/C.
 """
 from __future__ import annotations
 

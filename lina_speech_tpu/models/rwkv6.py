@@ -50,6 +50,10 @@ class RWKV6Attention(nn.Module):
     expand_v: float = 1.0
     proj_low_rank_dim: int = 32
     decay_low_rank_dim: int = 64
+    # auto: Pallas kernels on TPU, XLA elsewhere; chunk_pallas forces the
+    # Pallas path (interpret off-TPU); chunk forces XLA (explicit escape
+    # when trace-time default backend != intended platform).
+    kernel_mode: str = "auto"
     dtype: Any = jnp.float32
 
     @property
@@ -173,7 +177,10 @@ class RWKV6Attention(nn.Module):
         dk = self.key_dim // self.num_heads
         dv = self.value_dim // self.num_heads
         shp = lambda z, dh: z.reshape(b, self.num_heads, dh)
-        if jax.default_backend() == "tpu":
+        use_fused = self.kernel_mode == "chunk_pallas" or (
+            self.kernel_mode == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_fused:
             from lina_speech_tpu.ops.gla_pallas import rwkv6_decode_fused
 
             step_fn = rwkv6_decode_fused

@@ -94,26 +94,50 @@ def _to_flax(torch_val: np.ndarray, flax_path: str, flax_shape) -> np.ndarray:
     return v
 
 
+# torch keys with no flax counterpart by design: rotary frequencies are
+# nn.Parameters in rotary_embedding_torch but we compute them analytically.
+_IGNORABLE_TORCH_KEYS = (r"\.rotary\.freqs$",)
+
+
 def convert_torch_lina(state_dict: Dict[str, np.ndarray], params: Any,
                        strict: bool = True) -> Any:
     """Fill our flax ``params`` pytree from a reference state_dict.
 
     ``state_dict`` keys may carry the Lightning "model." root (stripped).
+    ``strict`` raises both on flax params with no matching torch entry AND
+    on torch entries no flax param consumed (excluding
+    ``_IGNORABLE_TORCH_KEYS``) — a name-mapping bug must surface loudly,
+    not as a silently random-initialized layer.
     """
     sd = {re.sub(r"^model\.", "", k): v for k, v in state_dict.items()}
     flat = traverse_util.flatten_dict(params, sep="/")
     out = {}
     missing = []
+    consumed = set()
     for path, val in flat.items():
         rel = re.sub(r"^params/", "", path)
         tkey = torch_key_for(rel)
         if tkey is not None and tkey in sd:
             out[path] = _to_flax(sd[tkey], rel, val.shape).astype(np.asarray(val).dtype)
+            consumed.add(tkey)
         else:
             missing.append((path, tkey))
             out[path] = val
-    if strict and missing:
-        raise KeyError(f"unmatched params: {missing[:10]} (+{max(0, len(missing)-10)} more)")
+    if strict:
+        unused = [
+            k for k in sd
+            if k not in consumed
+            and not any(re.search(p, k) for p in _IGNORABLE_TORCH_KEYS)
+        ]
+        errs = []
+        if missing:
+            errs.append(f"unmatched flax params: {missing[:10]} "
+                        f"(+{max(0, len(missing) - 10)} more)")
+        if unused:
+            errs.append(f"unconsumed torch keys: {sorted(unused)[:10]} "
+                        f"(+{max(0, len(unused) - 10)} more)")
+        if errs:
+            raise KeyError("; ".join(errs))
     return traverse_util.unflatten_dict(out, sep="/")
 
 
