@@ -276,8 +276,8 @@ class GatedLinearAttention(nn.Module):
 
             o, s_final = gla_chunk_pallas(
                 qh, kh, vh, gh, initial_state=s0,
-                chunk_size=max(self.chunk_size, 64),
-                subchunk_size=32,  # measured best: f+b 3.15 ms vs 3.77 @ S16
+                # dyadic-intra kernel: full-row MXU matmuls at C=128
+                chunk_size=max(self.chunk_size, 128),
             )
         elif mode == "chunk_parallel":
             from lina_speech_tpu.ops.gla import gla_chunk_parallel

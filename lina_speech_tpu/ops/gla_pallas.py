@@ -7,19 +7,31 @@ kernel in the external flash-linear-attention submodule). Design:
   state (d_k, d_v) lives in VMEM scratch and carries across the sequential
   chunk dimension; q/k/v/g chunk blocks are double-buffered HBM->VMEM by the
   BlockSpec pipeline.
-- inside a chunk, a static loop over 16-token sub-chunks:
-  cumsum via a lower-triangular MXU matmul, inter readout (16, dk) @
-  (dk, dv) on the MXU, within-sub-chunk pairwise decay on the VPU (every
-  exp argument <= 0 — stable under -20 resets), state update
-  (dk, 16) @ (16, dv) on the MXU.
-- IO in model dtype (bf16-friendly); all accumulation fp32.
+- per chunk: cumsum via one lower-triangular MXU matmul, inter readout
+  (C, dk) @ (dk, dv) on the MXU, the intra-chunk pairwise-decay matrix
+  A[t,s] = sum_d q k exp(b_t - b_s) built by the **dyadic masked-matmul
+  decomposition** (below), A @ v on the MXU, state update (dk, C) @ (C, dv)
+  on the MXU.
+- matmul operands follow the model dtype (bf16 flagship — matching the
+  reference Triton kernels, which feed tl.dot in the input dtype);
+  gates/exp/accumulation/state fp32.
+
+Dyadic intra decomposition: every pair s < t belongs to exactly one dyadic
+block (width w in {C, C/2, ..., 8}) where t and s fall in different
+halves; there exp(b_t - b_s) = exp(b_t - b_mid) * exp(b_mid - b_s) with
+b_mid the cumsum at the block midpoint — both factors have non-positive
+log (gates <= 0, b non-increasing), so each level is one stable
+(C, dk) @ (dk, C) full-row MXU matmul with a static same-block mask.
+Remaining pairs (distance < 4) ride a shifted-row VPU band; the diagonal
+is a row dot. This removes the rank-3 (sub, sub, dk) broadcast-reduce the
+first version ran on the VPU — the training-throughput bottleneck flagged
+in round 1.
 
 Backward: handwritten Pallas kernel (``_bwd_kernel``) — reverse chunk sweep
-with a state-cotangent VMEM carry; sub-chunk boundary states recomputed
-in-kernel from chunk-start residuals saved by the forward. Measured 26%
-faster fwd+bwd than the XLA checkpointed-scan path at 169M training shapes
-(see docs/kernels.md). Also here: ``gla_decode_fused``, the single-pass
-decode step kernel.
+with a state-cotangent VMEM carry, chunk-start states saved by the forward
+as residuals, and the same dyadic decomposition for the intra-chunk grads
+(G/H level matmuls + band). Also here: ``gla_decode_fused``, the
+single-pass decode step kernel.
 """
 from __future__ import annotations
 
@@ -36,13 +48,59 @@ from lina_speech_tpu.ops.gla import gla_chunk
 
 Array = jnp.ndarray
 
-SUB = 16  # sub-chunk (MXU-friendly sublane count, pairwise tile size)
+_BAND = 4  # pairs closer than this ride the VPU band; dyadic tree above it
+_MIN_W = 2 * _BAND  # narrowest dyadic level (8: sublane-friendly reshapes)
+
+
+def _shift_down(x: Array, j: int) -> Array:
+    """Rows t -> x[t-j]; first j rows zero. Static shapes only."""
+    if j == 0:
+        return x
+    return jnp.pad(x[:-j], ((j, 0), (0, 0)))
+
+
+def _shift_up(x: Array, j: int) -> Array:
+    if j == 0:
+        return x
+    return jnp.pad(x[j:], ((0, j), (0, 0)))
+
+
+def _block_boundary(bcum: Array, w: int, idx: int) -> Array:
+    """(C, dk) -> per-row value of bcum at position (row//w)*w + idx."""
+    C, dk = bcum.shape
+    mid = bcum.reshape(C // w, w, dk)[:, idx]  # (C/w, dk)
+    return jnp.broadcast_to(mid[:, None, :], (C // w, w, dk)).reshape(C, dk)
+
+
+def _dyadic_levels(chunk_size: int):
+    w = chunk_size
+    levels = []
+    while w >= _MIN_W:
+        levels.append(w)
+        w //= 2
+    return levels
+
+
+def _level_factors(bcum: Array, row1: Array, w: int):
+    """Per-level decay factors and selection masks.
+
+    qe[t] = exp(b_t - b_mid(t)) for t in the upper half of its w-block
+    (0 elsewhere); ke[s] = exp(b_mid(s) - b_s) for s in the lower half.
+    Selected rows have non-positive exp args (b non-increasing); deselected
+    rows are clamped to 0 before exp so no overflow can occur.
+    """
+    bmid = _block_boundary(bcum, w, w // 2 - 1)
+    hi = ((row1 % w) >= (w // 2)).astype(jnp.float32)  # (C, 1)
+    qe = jnp.exp(jnp.minimum(bcum - bmid, 0.0)) * hi
+    ke = jnp.exp(jnp.minimum(bmid - bcum, 0.0)) * (1.0 - hi)
+    return qe, ke
 
 
 def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
-            *, chunk_size: int, scale: float, out_dtype, sub: int = SUB):
+            *, chunk_size: int, scale: float, out_dtype):
     c = pl.program_id(1)
     nc = pl.num_programs(1)
+    C = chunk_size
 
     @pl.when(c == 0)
     def _():
@@ -51,36 +109,51 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
     # chunk-start state, saved as a backward residual
     cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     tril_inc = (row >= col).astype(jnp.float32)
 
-    for i in range(chunk_size // sub):
-        sl = pl.ds(i * sub, sub)
-        g = g_ref[0, sl, :].astype(jnp.float32)  # (sub, dk)
-        bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
-        btot = bcum[sub - 1 : sub, :]  # (1, dk)
+    g = g_ref[0].astype(jnp.float32)  # (C, dk)
+    bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
+    btot = bcum[C - 1 : C, :]  # (1, dk)
 
-        q = q_ref[0, sl, :].astype(jnp.float32) * scale
-        k = k_ref[0, sl, :].astype(jnp.float32)
-        v = v_ref[0, sl, :].astype(jnp.float32)
+    cdt = q_ref.dtype  # matmul operand dtype (model dtype; f32 in tests)
+    u = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(cdt)
 
-        # inter: decayed query against carried state
-        o = jnp.dot(q * jnp.exp(bcum), state[:], preferred_element_type=jnp.float32)
+    # ---- inter: decayed query against the carried chunk-start state
+    o = jnp.dot((u * jnp.exp(bcum)).astype(cdt), state[:].astype(cdt),
+                preferred_element_type=jnp.float32)
 
-        # within-sub-chunk pairwise: A[t, s] = sum_d q k exp(b_t - b_s), s <= t
-        # (clamp: the upper triangle would overflow exp; it is masked anyway)
-        pair = bcum[:, None, :] - bcum[None, :, :]  # (SUB, SUB, dk), tril <= 0
-        E = jnp.exp(jnp.minimum(pair, 0.0)) * tril_inc[:, :, None]
-        A = jnp.sum(q[:, None, :] * k[None, :, :] * E, axis=-1)
-        o = o + jnp.dot(A, v, preferred_element_type=jnp.float32)
-        o_ref[0, sl, :] = o.astype(out_dtype)
+    # ---- intra A: dyadic levels (MXU) ...
+    A = jnp.zeros((C, C), jnp.float32)
+    for w in _dyadic_levels(C):
+        qe, ke = _level_factors(bcum, row1, w)
+        mask_w = ((row // w) == (col // w)).astype(jnp.float32)
+        A += jax.lax.dot_general(
+            (u * qe).astype(cdt), (k * ke).astype(cdt),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * mask_w
+    # ... + near band (distance 0..3, same dyadic-4 block): row dots (VPU)
+    for j in range(_BAND):
+        kj = _shift_down(k, j)
+        Ej = jnp.exp(bcum - _shift_down(bcum, j)) if j else 1.0
+        a_j = jnp.sum(u * kj * Ej, axis=-1, keepdims=True)  # (C, 1)
+        m_j = (row - col == j) if j == 0 else (
+            (row - col == j) & ((row % _BAND) >= j))
+        A += jnp.where(m_j, a_j, 0.0)
 
-        # state update: S = exp(btot) * S + (k decayed-to-end)^T v
-        kd = k * jnp.exp(btot - bcum)
-        state[:] = state[:] * jnp.exp(btot)[0][:, None] + jnp.dot(
-            kd.T, v, preferred_element_type=jnp.float32
-        )
+    o = o + jnp.dot(A.astype(cdt), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(out_dtype)
+
+    # ---- state update: S = exp(btot) * S + (k decayed-to-end)^T v
+    kd = (k * jnp.exp(btot - bcum)).astype(cdt)
+    state[:] = state[:] * jnp.exp(btot)[0][:, None] + jax.lax.dot_general(
+        kd, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
     @pl.when(c == nc - 1)
     def _():
@@ -88,110 +161,127 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
-                dq_ref, dk_ref, dv_ref, dg_ref, ds0_ref, dstate, ssub,
-                *, chunk_size: int, scale: float, sub: int = SUB):
+                dq_ref, dk_ref, dv_ref, dg_ref, ds0_ref, dstate,
+                *, chunk_size: int, scale: float):
     """Reverse sweep. Grid (bh, nc) with the chunk axis index-mapped to run
-    newest chunk first; ``dstate`` carries the state cotangent; sub-chunk
-    start states are recomputed forward from the saved chunk-start state.
+    newest chunk first; ``dstate`` carries the state cotangent; the
+    chunk-start state S_in is the forward's saved residual.
 
-    Math (per sub-chunk of 16, u = scale*q, lam = exp(bcum),
-    ktil = k*exp(btot - bcum), S_in = sub-chunk start state, dS = cotangent
-    of the NEXT boundary state):
+    Math (per chunk, u = scale*q, lam = exp(bcum),
+    ktil = k*exp(btot - bcum), dS = cotangent of the NEXT boundary state):
       dq = scale*lam*(dO S_in^T) + scale*G
       dk = exp(btot-bcum)*(v dS^T) + H
       dv = ktil dS + A^T dO
       db = u*lam*(dO S_in^T) + u*G - k*H - ktil*(v dS^T)
            [+ at last pos: sum_s(ktil*(v dS^T)) + sum_v(dS*exp(btot)*S_in)]
       dg = reversed-cumsum(db);  dS <- exp(btot)*dS + (u*lam)^T dO
-    with G[t,d] = sum_s dA[t,s] k[s,d] E[t,s,d],
-         H[s,d] = sum_t dA[t,s] u[t,d] E[t,s,d],
-         E = exp(b_t - b_s) on the lower triangle, dA = (dO v^T) masked.
+    with G[t,d] = sum_{s<=t} dA[t,s] k[s,d] E[t,s,d],
+         H[s,d] = sum_{t>=s} dA[t,s] u[t,d] E[t,s,d],
+         E = exp(b_t - b_s), dA = dO v^T.
+    G, H and the A recompute use the same dyadic masked-matmul
+    decomposition as the forward (module docstring) plus the near band.
     """
     rc = pl.program_id(1)
     nc = pl.num_programs(1)
-    ns = chunk_size // sub
+    C = chunk_size
 
     @pl.when(rc == 0)
     def _():
         dstate[:] = dsf_ref[0].astype(jnp.float32)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     tril_inc = (row >= col).astype(jnp.float32)
     triu_inc = (row <= col).astype(jnp.float32)
 
-    # ---- recompute sub-chunk boundary states (forward mini-sweep) ----
-    S = cs_ref[0, 0].astype(jnp.float32)
-    for i in range(ns):
-        ssub[i] = S
-        sl = pl.ds(i * sub, sub)
-        g = g_ref[0, sl, :].astype(jnp.float32)
-        bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
-        btot = bcum[sub - 1 : sub, :]
-        k = k_ref[0, sl, :].astype(jnp.float32)
-        v = v_ref[0, sl, :].astype(jnp.float32)
-        kd = k * jnp.exp(btot - bcum)
-        S = S * jnp.exp(btot)[0][:, None] + jnp.dot(
-            kd.T, v, preferred_element_type=jnp.float32
-        )
+    g = g_ref[0].astype(jnp.float32)
+    bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
+    btot = bcum[C - 1 : C, :]
+    lam = jnp.exp(bcum)
+    dec_end = jnp.exp(btot - bcum)
 
-    # ---- reverse sweep over sub-chunks ----
-    for i in reversed(range(ns)):
-        sl = pl.ds(i * sub, sub)
-        g = g_ref[0, sl, :].astype(jnp.float32)
-        bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
-        btot = bcum[sub - 1 : sub, :]
-        lam = jnp.exp(bcum)
-        dec_end = jnp.exp(btot - bcum)
+    cdt = q_ref.dtype
+    u = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    ktil = k * dec_end
+    s_in = cs_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    dS = dstate[:]
 
-        q = q_ref[0, sl, :].astype(jnp.float32)
-        u = q * scale
-        k = k_ref[0, sl, :].astype(jnp.float32)
-        v = v_ref[0, sl, :].astype(jnp.float32)
-        ktil = k * dec_end
-        s_in = ssub[i]
-        do = do_ref[0, sl, :].astype(jnp.float32)
-        dS = dstate[:]
+    # ---- inter pieces
+    M = jax.lax.dot_general(do.astype(cdt), s_in.astype(cdt),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (C, dk)
+    dktil = jax.lax.dot_general(v.astype(cdt), dS.astype(cdt),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (C, dk)
+    dq = scale * lam * M
+    dk_out = dec_end * dktil
+    dv = jnp.dot(ktil.astype(cdt), dS.astype(cdt),
+                 preferred_element_type=jnp.float32)
+    db = u * lam * M - ktil * dktil
 
-        # inter pieces
-        M = jnp.dot(do, s_in.T, preferred_element_type=jnp.float32)  # (S, dk)
-        dktil = jnp.dot(v, dS.T, preferred_element_type=jnp.float32)  # (S, dk)
-        dq = scale * lam * M
-        dk_out = dec_end * dktil
-        dv = jnp.dot(ktil, dS, preferred_element_type=jnp.float32)
-        db = u * lam * M - ktil * dktil
+    # ---- intra: dyadic levels for A / G / H (MXU) ...
+    dA = jax.lax.dot_general(do.astype(cdt), v.astype(cdt),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (C, C)
+    A = jnp.zeros((C, C), jnp.float32)
+    G = jnp.zeros_like(bcum)
+    H = jnp.zeros_like(bcum)
+    for w in _dyadic_levels(C):
+        qe, ke = _level_factors(bcum, row1, w)
+        mask_w = ((row // w) == (col // w)).astype(jnp.float32)
+        kke = (k * ke).astype(cdt)
+        uqe = (u * qe).astype(cdt)
+        dAw = (dA * mask_w).astype(cdt)
+        A += jax.lax.dot_general(uqe, kke, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * mask_w
+        G += qe * jnp.dot(dAw, kke, preferred_element_type=jnp.float32)
+        H += ke * jax.lax.dot_general(dAw, uqe, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    # ... + near band (distance 0..3; dA band entries are row dots of
+    # do against shifted v — never materialized from the dA matrix)
+    for j in range(_BAND):
+        kj = _shift_down(k, j)
+        Ej = jnp.exp(bcum - _shift_down(bcum, j)) if j else 1.0
+        bm = (1.0 if j == 0
+              else ((row1 % _BAND) >= j).astype(jnp.float32))  # (C, 1)
+        da_j = jnp.sum(do * _shift_down(v, j), axis=-1, keepdims=True) * bm
+        a_j = jnp.sum(u * kj * Ej, axis=-1, keepdims=True)
+        m_j = (row - col == j) if j == 0 else (
+            (row - col == j) & ((row % _BAND) >= j))
+        A += jnp.where(m_j, a_j, 0.0)
+        G += da_j * kj * Ej
+        H += _shift_up(da_j * u * Ej, j)
 
-        # intra pairwise (clamped + f32-masked: Mosaic cannot broadcast an
-        # i1 minor dim, and the masked upper triangle would overflow exp)
-        pair = bcum[:, None, :] - bcum[None, :, :]
-        E = jnp.exp(jnp.minimum(pair, 0.0)) * tril_inc[:, :, None]
-        dA = jnp.dot(do, v.T, preferred_element_type=jnp.float32) * tril_inc
-        A = jnp.sum(u[:, None, :] * k[None, :, :] * E, axis=-1)
-        dv = dv + jnp.dot(A.T, do, preferred_element_type=jnp.float32)
-        G = jnp.sum(dA[:, :, None] * k[None, :, :] * E, axis=1)  # (S, dk)
-        H = jnp.sum(dA[:, :, None] * u[:, None, :] * E, axis=0)  # (S, dk)
-        dq = dq + scale * G
-        dk_out = dk_out + H
-        db = db + u * G - k * H
+    dv = dv + jax.lax.dot_general(A.astype(cdt), do.astype(cdt),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dq = dq + scale * G
+    dk_out = dk_out + H
+    db = db + u * G - k * H
 
-        # last-position extras: btot terms (ktil scaling + state decay)
-        extra = jnp.sum(ktil * dktil, axis=0, keepdims=True) + jnp.sum(
-            dS * jnp.exp(btot)[0][:, None] * s_in, axis=1
-        )[None, :]
-        zero_rows = (row[:, :1] == sub - 1).astype(jnp.float32)  # (sub, 1)
-        db = db + zero_rows * extra
+    # last-position extras: btot terms (ktil scaling + state decay)
+    extra = jnp.sum(ktil * dktil, axis=0, keepdims=True) + jnp.sum(
+        dS * jnp.exp(btot)[0][:, None] * s_in, axis=1
+    )[None, :]
+    zero_rows = (row1 == C - 1).astype(jnp.float32)  # (C, 1)
+    db = db + zero_rows * extra
 
-        dg = jnp.dot(triu_inc, db, preferred_element_type=jnp.float32)
+    dg = jnp.dot(triu_inc, db, preferred_element_type=jnp.float32)
 
-        dq_ref[0, sl, :] = dq.astype(dq_ref.dtype)
-        dk_ref[0, sl, :] = dk_out.astype(dk_ref.dtype)
-        dv_ref[0, sl, :] = dv.astype(dv_ref.dtype)
-        dg_ref[0, sl, :] = dg.astype(dg_ref.dtype)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk_out.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dg_ref[0] = dg.astype(dg_ref.dtype)
 
-        # carry: cotangent of this sub-chunk's START state
-        dstate[:] = dS * jnp.exp(btot)[0][:, None] + jnp.dot(
-            (u * lam).T, do, preferred_element_type=jnp.float32
-        )
+    # carry: cotangent of this chunk's START state
+    dstate[:] = dS * jnp.exp(btot)[0][:, None] + jax.lax.dot_general(
+        (u * lam).astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32
+    )
 
     @pl.when(rc == nc - 1)
     def _():
@@ -208,7 +298,7 @@ def _pad_inputs(q, k, v, gk, chunk_size):
 
 
 def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-              residual_dtype=jnp.bfloat16, sub=SUB):
+              residual_dtype=jnp.bfloat16):
     b, h, t, dk = q.shape
     dv = v.shape[-1]
     C = chunk_size
@@ -222,7 +312,7 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
     s0 = initial_state.reshape(bh, dk, dv).astype(jnp.float32)
 
     kern = functools.partial(
-        _kernel, chunk_size=C, scale=scale, out_dtype=q.dtype, sub=sub
+        _kernel, chunk_size=C, scale=scale, out_dtype=q.dtype
     )
     o, sf, chunk_states = pl.pallas_call(
         kern,
@@ -259,8 +349,7 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
             chunk_states.reshape(b, h, nc, dk, dv))
 
 
-def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret,
-              sub=SUB):
+def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret):
     b, h, t, dk = q.shape
     dv = v.shape[-1]
     C = chunk_size
@@ -269,7 +358,6 @@ def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret,
     T = q.shape[2]
     nc = T // C
     bh = b * h
-    ns = C // sub
 
     rs = lambda x, d: x.reshape(bh, T, d)
     q2, k2, v2, g2, do2 = (rs(q, dk), rs(k, dk), rs(v, dv), rs(gk, dk),
@@ -277,7 +365,7 @@ def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret,
     dsf2 = dsf.reshape(bh, dk, dv).astype(jnp.float32)
     chunk_states = chunk_states.reshape(bh, nc, dk, dv)
 
-    kern = functools.partial(_bwd_kernel, chunk_size=C, scale=scale, sub=sub)
+    kern = functools.partial(_bwd_kernel, chunk_size=C, scale=scale)
     rev = lambda i, c: (i, nc - 1 - c, 0)  # newest chunk first
     dq, dk_, dv_, dg, ds0 = pl.pallas_call(
         kern,
@@ -299,15 +387,16 @@ def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret,
             pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, T, dk), jnp.float32),
-            jax.ShapeDtypeStruct((bh, T, dk), jnp.float32),
-            jax.ShapeDtypeStruct((bh, T, dv), jnp.float32),
-            jax.ShapeDtypeStruct((bh, T, dk), jnp.float32),
+            # grads in input dtype: the VJP casts to it anyway, and f32
+            # intermediates would double the dominant HBM write traffic
+            jax.ShapeDtypeStruct((bh, T, dk), q.dtype),
+            jax.ShapeDtypeStruct((bh, T, dk), k.dtype),
+            jax.ShapeDtypeStruct((bh, T, dv), v.dtype),
+            jax.ShapeDtypeStruct((bh, T, dk), gk.dtype),
             jax.ShapeDtypeStruct((bh, dk, dv), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((dk, dv), jnp.float32),
-            pltpu.VMEM((ns, dk, dv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -360,13 +449,13 @@ def _bh_axes(arg_info, mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_partitioned(scale, chunk_size, interpret, residual_dtype, sub):
+def _fwd_partitioned(scale, chunk_size, interpret, residual_dtype):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(q, k, v, gk, s0):
         return _fwd_impl(q, k, v, gk, s0, scale, chunk_size, interpret,
-                         residual_dtype, sub)
+                         residual_dtype)
 
     cp = custom_partitioning(fn)
 
@@ -396,13 +485,13 @@ def _fwd_partitioned(scale, chunk_size, interpret, residual_dtype, sub):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_partitioned(scale, chunk_size, interpret, sub):
+def _bwd_partitioned(scale, chunk_size, interpret):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(q, k, v, gk, chunk_states, do, dsf):
         return _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale,
-                         chunk_size, interpret, sub)
+                         chunk_size, interpret)
 
     cp = custom_partitioning(fn)
 
@@ -432,27 +521,27 @@ def _bwd_partitioned(scale, chunk_size, interpret, sub):
     return cp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-                      residual_dtype, sub):
-    o, sf, _ = _fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
-                                sub)(q, k, v, gk, initial_state)
+                      residual_dtype):
+    o, sf, _ = _fwd_partitioned(scale, chunk_size, interpret, residual_dtype)(
+        q, k, v, gk, initial_state)
     return o, sf
 
 
 def _vjp_fwd(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-             residual_dtype, sub):
+             residual_dtype):
     o, sf, chunk_states = _fwd_partitioned(
-        scale, chunk_size, interpret, residual_dtype, sub
+        scale, chunk_size, interpret, residual_dtype
     )(q, k, v, gk, initial_state)
     return (o, sf), (q, k, v, gk, chunk_states)
 
 
-def _vjp_bwd(scale, chunk_size, interpret, residual_dtype, sub, residuals,
+def _vjp_bwd(scale, chunk_size, interpret, residual_dtype, residuals,
              cotangents):
     q, k, v, gk, chunk_states = residuals
     do, dsf = cotangents
-    dq, dk, dv, dg, ds0 = _bwd_partitioned(scale, chunk_size, interpret, sub)(
+    dq, dk, dv, dg, ds0 = _bwd_partitioned(scale, chunk_size, interpret)(
         q, k, v, gk, chunk_states, do, dsf
     )
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
@@ -472,13 +561,20 @@ def gla_chunk_pallas(
     chunk_size: int = 128,
     interpret: Optional[bool] = None,
     residual_dtype=jnp.bfloat16,
-    subchunk_size: int = SUB,
 ) -> Tuple[Array, Array]:
     """Drop-in for :func:`lina_speech_tpu.ops.gla.gla_chunk`: Pallas forward
-    AND handwritten Pallas backward (chunk-start states saved as residuals,
-    sub-chunk states recomputed in-kernel)."""
+    AND handwritten Pallas backward (chunk-start states saved as residuals;
+    intra-chunk pairwise work on the MXU via the dyadic decomposition —
+    module docstring). ``chunk_size`` must be a power of two >= 8.
+
+    Contract (invariant of the GLA recurrence, reference gla.py:176-184):
+    gates ``gk`` are log-decays <= 0; the dyadic factorization relies on the
+    cumulative gate being non-increasing."""
     b, h, t, dk = q.shape
     dv = v.shape[-1]
+    if chunk_size < _MIN_W or (chunk_size & (chunk_size - 1)):
+        raise ValueError(f"chunk_size must be a power of two >= {_MIN_W}, "
+                         f"got {chunk_size}")
     if scale is None:
         scale = dk ** -0.5
     state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
@@ -487,7 +583,7 @@ def gla_chunk_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     o, sf = _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size,
-                              interpret, residual_dtype, subchunk_size)
+                              interpret, residual_dtype)
     return o, sf.astype(state_dtype)
 
 
