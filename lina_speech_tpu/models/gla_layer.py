@@ -40,10 +40,10 @@ class GLAState:
     """Per-layer decode state: recurrent fp32 matrix + conv ring buffers."""
 
     s: Array  # (b, h, d_k_head, d_v_head) fp32
-    conv_q: Optional[Array] = None  # (b, key_dim, w)
-    conv_k: Optional[Array] = None  # (b, key_dim, w)
-    conv_v: Optional[Array] = None  # (b, value_dim, w)
-    conv_h: Optional[Array] = None  # (b, hidden, w) when share_conv_kernel
+    conv_q: Optional[Array] = None  # (w, b, key_dim) time-major ring
+    conv_k: Optional[Array] = None  # (w, b, key_dim)
+    conv_v: Optional[Array] = None  # (w, b, value_dim)
+    conv_h: Optional[Array] = None  # (w, b, hidden) when share_conv_kernel
 
 
 def gla_empty_state(
@@ -73,12 +73,12 @@ def gla_empty_state(
     )
     if use_short_conv:
         if share_conv_kernel:
-            state = state.replace(conv_h=z(batch_size, hidden_size, conv_size))
+            state = state.replace(conv_h=z(conv_size, batch_size, hidden_size))
         else:
             state = state.replace(
-                conv_q=z(batch_size, key_dim, conv_size),
-                conv_k=z(batch_size, key_dim, conv_size),
-                conv_v=z(batch_size, value_dim, conv_size),
+                conv_q=z(conv_size, batch_size, key_dim),
+                conv_k=z(conv_size, batch_size, key_dim),
+                conv_v=z(conv_size, batch_size, value_dim),
             )
     return state
 
@@ -296,7 +296,7 @@ class GatedLinearAttention(nn.Module):
                 w = self.conv_size
                 tail = lambda z: jnp.pad(z, ((0, 0), (max(0, w - z.shape[1]), 0), (0, 0)))[
                     :, -w:, :
-                ].transpose(0, 2, 1)
+                ].transpose(1, 0, 2)
                 if self.share_conv_kernel:
                     state = state.replace(conv_h=tail(x))
                 else:
@@ -312,7 +312,17 @@ class GatedLinearAttention(nn.Module):
     def step(self, x_t: Array, state: GLAState) -> Tuple[Array, GLAState]:
         """x_t: (b, d) one token; returns (o_t (b, d), new state)."""
         b = x_t.shape[0]
+        use_fused = self.kernel_mode == "chunk_pallas" or (
+            self.kernel_mode == "auto" and jax.default_backend() == "tpu"
+        )
         h_t = x_t
+        if (
+            self.use_short_conv
+            and not self.share_conv_kernel
+            and use_fused
+            and self._conv_fusable()
+        ):
+            return self._step_conv_fused(x_t, state)
         if self.use_short_conv and self.share_conv_kernel:
             h_t, conv_h = self.h_conv1d.step(x_t, state.conv_h)
             q, k, v = self.q_proj(h_t), self.k_proj(h_t), self.v_proj(h_t)
@@ -328,9 +338,6 @@ class GatedLinearAttention(nn.Module):
         gk = self._raw_gates(h_t)
 
         hsplit = lambda z, d: z.reshape(b, self.num_heads, d)
-        use_fused = self.kernel_mode == "chunk_pallas" or (
-            self.kernel_mode == "auto" and jax.default_backend() == "tpu"
-        )
         if use_fused:
             # fused single-pass kernel: one state read + one write (the
             # unfused XLA lowering reads the state ~3x; state traffic IS the
@@ -354,4 +361,44 @@ class GatedLinearAttention(nn.Module):
         state = state.replace(s=s)
         # one-token output path: (b, h, dv) -> gate/merge/project via seq dim 1
         out = self._output(o[:, :, None, :], h_t[:, None, :])[:, 0]
+        return out, state
+
+    def _conv_fusable(self) -> bool:
+        from lina_speech_tpu.ops.gla_pallas import _BH_BLK
+
+        return (_BH_BLK % self.num_heads == 0
+                and self.q_conv1d.bias is None
+                and self.k_conv1d.bias is None
+                and self.v_conv1d.bias is None)
+
+    def _step_conv_fused(self, x_t: Array, state: GLAState) -> Tuple[Array, GLAState]:
+        """Decode step via the conv-fused Pallas kernel: the q/k/v ring
+        updates + silu + GLA state update + readout in one HBM pass."""
+        from lina_speech_tpu.ops.gla_pallas import gla_decode_conv_fused
+
+        b = x_t.shape[0]
+        h, dk, dv, w = (self.num_heads, self.head_qk_dim, self.head_v_dim,
+                        self.conv_size)
+        gk = self._raw_gates(x_t)  # gates see raw x in the non-shared path
+        hsplit = lambda z, d: z.reshape(b, h, d)
+        csplit = lambda z, d: z.reshape(w, b, h, d)
+        # taps (dim, w) -> (w, h, head_dim), tap 0 oldest
+        tsplit = lambda m, d: m.reshape(h, d, w).transpose(2, 0, 1)
+        o, s, cq, ck, cv = gla_decode_conv_fused(
+            hsplit(self.q_proj(x_t), dk),
+            hsplit(self.k_proj(x_t), dk),
+            hsplit(self.v_proj(x_t), dv),
+            hsplit(gk, dk),
+            tsplit(self.q_conv1d.kernel.astype(self.dtype), dk),
+            tsplit(self.k_conv1d.kernel.astype(self.dtype), dk),
+            tsplit(self.v_conv1d.kernel.astype(self.dtype), dv),
+            csplit(state.conv_q, dk),
+            csplit(state.conv_k, dk),
+            csplit(state.conv_v, dv),
+            state.s,
+        )
+        merge = lambda z, d: z.reshape(w, b, h * d)
+        state = state.replace(s=s, conv_q=merge(cq, dk), conv_k=merge(ck, dk),
+                              conv_v=merge(cv, dv))
+        out = self._output(o[:, :, None, :], x_t[:, None, :])[:, 0]
         return out, state

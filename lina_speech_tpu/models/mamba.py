@@ -36,7 +36,7 @@ Array = jnp.ndarray
 @flax.struct.dataclass
 class MambaState:
     h: Array       # (b, d_inner, d_state) fp32 SSM state
-    conv: Array    # (b, d_inner, d_conv) conv ring buffer
+    conv: Array    # (d_conv, b, d_inner) time-major conv ring buffer
 
 
 def mamba_empty_state(batch_size: int, d_model: int, expand: int = 2,
@@ -46,7 +46,7 @@ def mamba_empty_state(batch_size: int, d_model: int, expand: int = 2,
     d_inner = expand * d_model
     return MambaState(
         h=jnp.zeros((batch_size, d_inner, d_state), state_dtype),
-        conv=jnp.zeros((batch_size, d_inner, d_conv), dtype),
+        conv=jnp.zeros((d_conv, batch_size, d_inner), dtype),
     )
 
 
@@ -118,7 +118,7 @@ class MambaMixer(nn.Module):
         if output_final_state:
             w = self.d_conv
             tail = jnp.pad(xs, ((0, 0), (max(0, w - t), 0), (0, 0)))[:, -w:, :]
-            return out, MambaState(h=h_final, conv=tail.transpose(0, 2, 1))
+            return out, MambaState(h=h_final, conv=tail.transpose(1, 0, 2))
         return out
 
     def step(self, x_t: Array, state: MambaState) -> Tuple[Array, MambaState]:
@@ -229,7 +229,7 @@ class Mamba2Mixer(nn.Module):
             tail = jnp.pad(xbc_pre, ((0, 0), (max(0, w - t), 0), (0, 0)))[:, -w:, :]
             st = MambaState(
                 h=s_final.reshape(b, self.n_heads * self.d_state, self.headdim),
-                conv=tail.transpose(0, 2, 1),
+                conv=tail.transpose(1, 0, 2),
             )
             return out, st
         return out
@@ -274,7 +274,7 @@ def mamba2_empty_state(batch_size: int, d_model: int, expand: int = 2,
     n_heads = d_inner // headdim
     return MambaState(
         h=jnp.zeros((batch_size, n_heads * d_state, headdim), state_dtype),
-        conv=jnp.zeros((batch_size, d_inner + 2 * d_state, d_conv), dtype),
+        conv=jnp.zeros((d_conv, batch_size, d_inner + 2 * d_state), dtype),
     )
 
 

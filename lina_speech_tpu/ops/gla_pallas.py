@@ -81,17 +81,23 @@ def _dyadic_levels(chunk_size: int):
     return levels
 
 
-def _level_factors(bcum: Array, row1: Array, w: int):
+def _level_factors(bcum: Array, row1: Array, w: int, q_cum: Array = None):
     """Per-level decay factors and selection masks.
 
     qe[t] = exp(b_t - b_mid(t)) for t in the upper half of its w-block
     (0 elsewhere); ke[s] = exp(b_mid(s) - b_s) for s in the lower half.
     Selected rows have non-positive exp args (b non-increasing); deselected
     rows are clamped to 0 before exp so no overflow can occur.
+
+    ``q_cum`` overrides the query-side cumsum (RWKV6 uses the exclusive
+    cumsum bx_t = b_t - g_t, still <= b_mid for upper-half rows since
+    t - 1 >= mid there).
     """
+    if q_cum is None:
+        q_cum = bcum
     bmid = _block_boundary(bcum, w, w // 2 - 1)
     hi = ((row1 % w) >= (w // 2)).astype(jnp.float32)  # (C, 1)
-    qe = jnp.exp(jnp.minimum(bcum - bmid, 0.0)) * hi
+    qe = jnp.exp(jnp.minimum(q_cum - bmid, 0.0)) * hi
     ke = jnp.exp(jnp.minimum(bmid - bcum, 0.0)) * (1.0 - hi)
     return qe, ke
 
@@ -610,6 +616,108 @@ def _decode_kernel(q_ref, k_ref, v_ref, g_ref, s_ref, o_ref, s_out_ref, *,
     s_out_ref[:] = S.astype(s_out_ref.dtype)
 
 
+def _decode_conv_kernel(xq_ref, xk_ref, xv_ref, g_ref, wq_ref, wk_ref, wv_ref,
+                        cq_ref, ck_ref, cv_ref, s_ref,
+                        o_ref, s_out_ref, cq_out, ck_out, cv_out, *,
+                        scale: float, num_heads: int):
+    """Conv-fused single-pass decode: the q/k/v short-conv ring updates,
+    the silu taps, the GLA state update, and the readout in ONE kernel.
+
+    The unfused path round-trips each ring buffer through HBM several times
+    per token (concat writes the shifted state, the tap einsum reads it
+    back, silu again) — ~1 ms/token at b64 across 25 layers (round-1
+    measurement). Here each ring is read once and written once, and the
+    conv outputs q/k/v never touch HBM. Conv taps arrive as the full
+    (w, num_heads, d) tensor (tiny) and are tiled to the block's static
+    row->head pattern (row r of a bh block is head r %% num_heads, valid
+    because _BH_BLK %% num_heads == 0 — checked by the caller).
+    """
+    blk = xq_ref.shape[0]
+    reps = blk // num_heads
+
+    def conv(c_ref, x_ref, w_ref, out_ref):
+        new_c = jnp.concatenate([c_ref[1:], x_ref[:][None]], axis=0)
+        out_ref[:] = new_c
+        taps = jnp.tile(w_ref[:], (1, reps, 1))  # (w, blk, d)
+        y = jnp.sum(new_c.astype(jnp.float32) * taps.astype(jnp.float32),
+                    axis=0)
+        # match the unfused path: tap sum rounded to IO dtype, silu in f32
+        y = y.astype(x_ref.dtype).astype(jnp.float32)
+        return (y * (1.0 / (1.0 + jnp.exp(-y)))).astype(x_ref.dtype)
+
+    q = conv(cq_ref, xq_ref, wq_ref, cq_out).astype(jnp.float32) * scale
+    k = conv(ck_ref, xk_ref, wk_ref, ck_out).astype(jnp.float32)
+    v = conv(cv_ref, xv_ref, wv_ref, cv_out).astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    S = s_ref[:].astype(jnp.float32)
+    S = jnp.exp(g)[:, :, None] * S + k[:, :, None] * v[:, None, :]
+    o_ref[:] = jnp.sum(q[:, :, None] * S, axis=1).astype(o_ref.dtype)
+    s_out_ref[:] = S.astype(s_out_ref.dtype)
+
+
+def _gla_decode_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
+                          scale, interpret, donate):
+    b, h, dk = xq.shape
+    dv = xv.shape[-1]
+    w = cq.shape[0]
+    bh = b * h
+    pad = (-bh) % _BH_BLK
+    q2, k2, g2 = (x.reshape(bh, dk) for x in (xq, xk, gk))
+    v2 = xv.reshape(bh, dv)
+    cq2, ck2 = cq.reshape(w, bh, dk), ck.reshape(w, bh, dk)
+    cv2 = cv.reshape(w, bh, dv)
+    s2 = state.reshape(bh, dk, dv)
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        pzc = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        q2, k2, g2, v2, s2 = pz(q2), pz(k2), pz(g2), pz(v2), pz(s2)
+        cq2, ck2, cv2 = pzc(cq2), pzc(ck2), pzc(cv2)
+    BH = bh + pad
+
+    kern = functools.partial(_decode_conv_kernel, scale=scale, num_heads=h)
+    o, s_new, cq_new, ck_new, cv_new = pl.pallas_call(
+        kern,
+        grid=(BH // _BH_BLK,),
+        in_specs=[
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dv), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk), lambda i: (i, 0)),
+            pl.BlockSpec((w, h, dk), lambda i: (0, 0, 0)),
+            pl.BlockSpec((w, h, dk), lambda i: (0, 0, 0)),
+            pl.BlockSpec((w, h, dv), lambda i: (0, 0, 0)),
+            pl.BlockSpec((w, _BH_BLK, dk), lambda i: (0, i, 0)),
+            pl.BlockSpec((w, _BH_BLK, dk), lambda i: (0, i, 0)),
+            pl.BlockSpec((w, _BH_BLK, dv), lambda i: (0, i, 0)),
+            pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BH_BLK, dv), lambda i: (i, 0)),
+            pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
+            pl.BlockSpec((w, _BH_BLK, dk), lambda i: (0, i, 0)),
+            pl.BlockSpec((w, _BH_BLK, dk), lambda i: (0, i, 0)),
+            pl.BlockSpec((w, _BH_BLK, dv), lambda i: (0, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, dv), xq.dtype),
+            jax.ShapeDtypeStruct((BH, dk, dv), state.dtype),
+            jax.ShapeDtypeStruct((w, BH, dk), cq.dtype),
+            jax.ShapeDtypeStruct((w, BH, dk), ck.dtype),
+            jax.ShapeDtypeStruct((w, BH, dv), cv.dtype),
+        ],
+        input_output_aliases=(
+            {10: 1, 7: 2, 8: 3, 9: 4} if donate else {}
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q2, k2, v2, g2, wq, wk, wv, cq2, ck2, cv2, s2)
+    unc = lambda x, d: x[:, :bh].reshape(w, b, h, d)
+    return (o[:bh].reshape(b, h, dv), s_new[:bh].reshape(b, h, dk, dv),
+            unc(cq_new, dk), unc(ck_new, dk), unc(cv_new, dv))
+
+
 def _rwkv6_decode_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, s_ref,
                          o_ref, s_out_ref):
     """Single-pass RWKV6 decode: o reads the PRE-update state + u bonus
@@ -739,6 +847,81 @@ def _gla_decode_partitioned(scale, interpret, donate):
         need_replication_factors=("k", "v"),
     )
     return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _gla_decode_conv_partitioned(scale, interpret, donate):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state):
+        return _gla_decode_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv,
+                                     state, scale, interpret, donate)
+
+    cp = custom_partitioning(fn)
+
+    def outs_for(mesh, arg_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, ha, None), mk(ba, ha, None, None),
+                mk(None, ba, ha, None), mk(None, ba, ha, None),
+                mk(None, ba, ha, None))
+
+    def infer(mesh, arg_infos, result_infos):
+        return outs_for(mesh, arg_infos)
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = ((mk(ba, ha, None),) * 4            # xq xk xv gk
+                + (mk(None, ha, None),) * 3        # conv taps (w, h, d)
+                + (mk(None, ba, ha, None),) * 3    # rings (w, b, h, d)
+                + (mk(ba, ha, None, None),))       # state
+        return mesh, fn, outs_for(mesh, arg_infos), args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h k, b h k, b h v, b h k, w h k, w h k, w h v, "
+                      "w b h k, w b h k, w b h v, b h k v "
+                      "-> b h v, b h k v, w b h k, w b h k, w b h v",
+        need_replication_factors=("k", "v", "w"),
+    )
+    return cp
+
+
+def gla_decode_conv_fused(
+    xq: Array, xk: Array, xv: Array, gk: Array,
+    wq: Array, wk: Array, wv: Array,
+    cq: Array, ck: Array, cv: Array, state: Array,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    donate: bool = True,
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """Conv-fused single-token GLA step.
+
+    Fuses the q/k/v depthwise short-conv ring updates + silu (reference
+    gla.py:146-163 / causal-conv1d decode path) into the single-pass state
+    kernel: every ring buffer is read and written exactly once per token
+    and the conv outputs never reach HBM.
+
+    xq/xk/gk: (b, h, dk) PRE-conv projections (+ gates); xv: (b, h, dv);
+    wq/wk: (w, h, dk), wv: (w, h, dv) conv taps, tap 0 = oldest;
+    cq/ck: (w, b, h, dk), cv: (w, b, h, dv) time-major rings;
+    state: (b, h, dk, dv). Requires _BH_BLK %% num_heads == 0 (the in-block
+    row->head pattern must be static). Returns (o, state, cq, ck, cv).
+    """
+    h = xq.shape[1]
+    if _BH_BLK % h:
+        raise ValueError(
+            f"gla_decode_conv_fused needs num_heads to divide {_BH_BLK}")
+    if scale is None:
+        scale = xq.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _gla_decode_conv_partitioned(scale, interpret, donate)(
+        xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state)
 
 
 @functools.lru_cache(maxsize=None)

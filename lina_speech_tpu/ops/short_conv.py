@@ -53,15 +53,19 @@ def short_conv_step(
 
     Args:
         x_t: (b, d) current input.
-        conv_state: (b, d, w) ring buffer of the last w inputs (index -1 is
-            the most recent); matches the reference cache layout
-            (gla.py:232-238: zeros-initialized (B, dim, conv_size)).
-        weight: (d, w) taps.
+        conv_state: (w, b, d) time-major ring buffer of the last w inputs
+            (index -1 is the most recent). Same contents as the reference
+            cache (gla.py:232-238, zeros-initialized (B, dim, conv_size))
+            but time-major: the lane dim stays the channel dim, so the
+            fused Pallas decode kernel reads it tiling-clean and the
+            (w, b, h*dh) <-> (w, b*h, dh) head split is a zero-copy
+            reshape.
+        weight: (d, w) taps, tap index 0 = oldest.
 
-    Returns: (y_t (b, d), new_conv_state (b, d, w)).
+    Returns: (y_t (b, d), new_conv_state (w, b, d)).
     """
-    new_state = jnp.concatenate([conv_state[:, :, 1:], x_t[:, :, None]], axis=2)
-    out = jnp.einsum("bdw,dw->bd", new_state, weight)
+    new_state = jnp.concatenate([conv_state[1:], x_t[None]], axis=0)
+    out = jnp.einsum("wbd,dw->bd", new_state, weight)
     if bias is not None:
         out = out + bias[None, :]
     if activation == "silu":

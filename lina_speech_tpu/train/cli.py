@@ -75,7 +75,22 @@ def fit(args) -> None:
         train_cfg = dataclasses.replace(train_cfg, n_training_steps=args.steps)
 
     model = build_model(model_cfg)
-    mesh = make_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+    from lina_speech_tpu.parallel.multihost import (
+        distributed_init, globalize_batch, make_multihost_mesh,
+        process_batch_slice,
+    )
+
+    multihost = distributed_init(args.coordinator)
+    if multihost:
+        # dp over DCN (outer), tp over ICI (inner); each process loads only
+        # its rows of the global batch and feeds them as one global array.
+        mesh = make_multihost_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+        feed = lambda b: globalize_batch(
+            jax.tree_util.tree_map(
+                lambda x: x[process_batch_slice(x.shape[0])], b), mesh)
+    else:
+        mesh = make_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+        feed = lambda b: shard_batch(b, mesh)
     data = build_data(data_cfg, model_cfg, dp=mesh.shape["dp"])
     batch0 = next(data)
     params = jax.jit(model.init)(
@@ -131,7 +146,7 @@ def fit(args) -> None:
     rng = jax.random.PRNGKey(args.seed + 1)
 
     for step_idx in range(start_step, train_cfg.n_training_steps):
-        batch = shard_batch(next(data) if step_idx else batch0, mesh)
+        batch = feed(next(data) if step_idx else batch0)
         with timer:
             state, metrics = train_step(state, batch, rng)
             metrics = {k: float(v) for k, v in metrics.items()}
@@ -144,7 +159,7 @@ def fit(args) -> None:
                              "opt_state": state.opt_state,
                              "step": state.step}, step=step_idx)
         if args.eval_every and step_idx > 0 and step_idx % args.eval_every == 0:
-            em = eval_step(state, shard_batch(next(data), mesh))
+            em = eval_step(state, feed(next(data)))
             logger.log(step_idx, {f"val_{k}": float(v) for k, v in em.items()})
 
     if args.ckpt_dir:
@@ -174,6 +189,9 @@ def main(argv=None):
     f.add_argument("--eval-every", type=int, default=0)
     f.add_argument("--log-every", type=int, default=10)
     f.add_argument("--log-file", type=str, default=None)
+    f.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host coordinator address (host:port); "
+                        "omit for auto-detection / single-process")
     f.add_argument("--platform", type=str, default=None,
                    help="force a jax backend (e.g. 'cpu' for a virtual mesh "
                         "with XLA_FLAGS=--xla_force_host_platform_device_count"

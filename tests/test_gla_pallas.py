@@ -78,6 +78,79 @@ def test_fused_decode_matches_reference():
         )
 
 
+def _conv_decode_inputs(key, b=2, h=2, dk=32, dv=64, w=4, dtype=jnp.float32):
+    ks = jax.random.split(key, 9)
+    n = lambda i, *shape: jax.random.normal(ks[i], shape, dtype)
+    xq, xk = n(0, b, h, dk), n(1, b, h, dk)
+    xv = n(2, b, h, dv)
+    gk = (jax.nn.log_sigmoid(jax.random.normal(ks[3], (b, h, dk))) / 16.0
+          ).astype(dtype)
+    wq, wk = n(4, w, h, dk) * 0.5, n(5, w, h, dk) * 0.5
+    wv = n(6, w, h, dv) * 0.5
+    cq, ck = n(7, w, b, h, dk), jax.random.normal(ks[7], (w, b, h, dk), dtype)
+    cv = n(8, w, b, h, dv)
+    state = jax.random.normal(jax.random.PRNGKey(99), (b, h, dk, dv)).astype(dtype)
+    return xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state
+
+
+def _conv_decode_ref(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state):
+    """Oracle: unfused short_conv_step + gla_decode_step on merged channels."""
+    from lina_speech_tpu.ops.gla import gla_decode_step
+    from lina_speech_tpu.ops.short_conv import short_conv_step
+
+    b, h, dk = xq.shape
+    dv = xv.shape[-1]
+    w = cq.shape[0]
+    mrg = lambda z, d: z.reshape(z.shape[0], b, h * d) if z.ndim == 4 else z.reshape(b, h * d)
+    taps = lambda m, d: m.transpose(1, 2, 0).reshape(h * d, w)  # (w,h,d)->(dim,w)
+    q, cq2 = short_conv_step(mrg(xq, dk), mrg(cq, dk), taps(wq, dk))
+    k, ck2 = short_conv_step(mrg(xk, dk), mrg(ck, dk), taps(wk, dk))
+    v, cv2 = short_conv_step(mrg(xv, dv), mrg(cv, dv), taps(wv, dv))
+    o, s = gla_decode_step(q.reshape(b, h, dk), k.reshape(b, h, dk),
+                           v.reshape(b, h, dv), gk, state)
+    rs = lambda z, d: z.reshape(w, b, h, d)
+    return o, s, rs(cq2, dk), rs(ck2, dk), rs(cv2, dv)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 5e-2)])
+def test_conv_fused_decode_matches_reference(dtype, tol):
+    from lina_speech_tpu.ops.gla_pallas import gla_decode_conv_fused
+
+    args = _conv_decode_inputs(jax.random.PRNGKey(5), dtype=dtype)
+    ref = _conv_decode_ref(*args)
+    out = gla_decode_conv_fused(*args, interpret=True, donate=False)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=tol, atol=tol)
+
+
+def test_conv_fused_decode_shards_over_batch_and_heads():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from lina_speech_tpu.ops.gla_pallas import gla_decode_conv_fused
+
+    args = _conv_decode_inputs(jax.random.PRNGKey(13), b=4, h=2, dk=16, dv=32)
+    ref = _conv_decode_ref(*args)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    sh = {
+        3: NamedSharding(mesh, P("dp", "tp", None)),          # b h d
+        4: NamedSharding(mesh, P(None, "tp", None)),          # w h d (taps)
+        "ring": NamedSharding(mesh, P(None, "dp", "tp", None)),
+        "state": NamedSharding(mesh, P("dp", "tp", None, None)),
+    }
+    plan = [sh[3]] * 4 + [sh[4]] * 3 + [sh["ring"]] * 3 + [sh["state"]]
+    args_s = tuple(jax.device_put(a, s) for a, s in zip(args, plan))
+    f = jax.jit(lambda *a: gla_decode_conv_fused(*a, interpret=True,
+                                                 donate=False))
+    out = f(*args_s)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    assert "all-gather" not in f.lower(*args_s).compile().as_text()
+    assert out[1].sharding.is_equivalent_to(sh["state"], 4)
+
+
 def test_rwkv6_fused_decode_matches_reference():
     from lina_speech_tpu.ops.gla_pallas import rwkv6_decode_fused
     from lina_speech_tpu.ops.rwkv6 import rwkv6_decode_step
