@@ -3,8 +3,10 @@
 Rebuild of reference decoder/discriminators.py (HiFi-GAN MPD with periods
 (2,3,5,7,11), discriminators.py:20-98; UnivNet MRD over STFT magnitudes at
 resolutions 1024/2048/512, discriminators.py:101-202) in NHWC layout.
-Weight-norm is omitted (plain convs + spectral-friendly LeakyReLU) — a
-training-dynamics choice, not an API difference; kernels fold at conversion.
+Every conv carries the reference's weight_norm parameterization
+(decoder/discriminators.py:30-44 wraps all MPD/MRD convs; likewise the DAC
+discriminator) — :class:`WNConv` below — which decouples the kernel's
+direction from its magnitude and is load-bearing for GAN stability.
 
 Each discriminator returns (score, feature_maps) per sub-discriminator.
 """
@@ -21,6 +23,41 @@ from lina_speech_tpu.codec.losses import stft_mag
 Array = jnp.ndarray
 
 
+class WNConv(nn.Module):
+    """2D conv with torch-style weight normalization (dim=0): kernel =
+    g * v / ||v|| with the norm per OUTPUT channel over (kh, kw, in); g is
+    initialized to ||v|| so the initial function matches a plain conv.
+    NHWC/HWIO layout, SAME padding (what the reference discriminators use)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, in_ch, self.features)
+        v = self.param("v", nn.initializers.lecun_normal(), kshape, jnp.float32)
+        norm = lambda w: jnp.sqrt(
+            jnp.sum(jnp.square(w.reshape(-1, self.features)), axis=0) + 1e-12)
+        g = self.param("g", lambda key, shape: norm(v), (self.features,))
+        kernel = (v * (g / norm(v))[None, None, None, :]).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel,
+            window_strides=self.strides, padding="SAME",
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
 class _PeriodDisc(nn.Module):
     period: int
     dtype: Any = jnp.float32
@@ -35,13 +72,13 @@ class _PeriodDisc(nn.Module):
         x = x.reshape(b, -1, p, 1)  # (B, T/p, p, 1) NHWC
         fmaps = []
         for i, ch in enumerate((32, 128, 512, 1024)):
-            x = nn.Conv(ch, (5, 1), strides=(3, 1), dtype=self.dtype, name=f"conv_{i}")(x)
+            x = WNConv(ch, (5, 1), strides=(3, 1), dtype=self.dtype, name=f"conv_{i}")(x)
             x = nn.leaky_relu(x, 0.1)
             fmaps.append(x)
-        x = nn.Conv(1024, (5, 1), dtype=self.dtype, name="conv_4")(x)
+        x = WNConv(1024, (5, 1), dtype=self.dtype, name="conv_4")(x)
         x = nn.leaky_relu(x, 0.1)
         fmaps.append(x)
-        x = nn.Conv(1, (3, 1), dtype=self.dtype, name="conv_post")(x)
+        x = WNConv(1, (3, 1), dtype=self.dtype, name="conv_post")(x)
         fmaps.append(x)
         return x.reshape(b, -1), fmaps
 
@@ -73,10 +110,10 @@ class _ResolutionDisc(nn.Module):
         specs = [((3, 9), (1, 1)), ((3, 9), (1, 2)), ((3, 9), (1, 2)),
                  ((3, 9), (1, 2)), ((3, 3), (1, 1))]
         for i, (kern, stride) in enumerate(specs):
-            h = nn.Conv(32, kern, strides=stride, dtype=self.dtype, name=f"conv_{i}")(h)
+            h = WNConv(32, kern, strides=stride, dtype=self.dtype, name=f"conv_{i}")(h)
             h = nn.leaky_relu(h, 0.1)
             fmaps.append(h)
-        h = nn.Conv(1, (3, 3), dtype=self.dtype, name="conv_post")(h)
+        h = WNConv(1, (3, 3), dtype=self.dtype, name="conv_post")(h)
         fmaps.append(h)
         return h.reshape(x.shape[0], -1), fmaps
 
@@ -122,16 +159,16 @@ class _STFTDisc(nn.Module):
         h = _complex_stft_chw(x, self.n_fft, self.hop)  # (B, T', F, 2)
         fmaps = []
         dilations = (1, 2, 4)
-        h = nn.Conv(self.filters, (3, 9), dtype=self.dtype, name="conv_pre")(h)
+        h = WNConv(self.filters, (3, 9), dtype=self.dtype, name="conv_pre")(h)
         fmaps.append(h)
         for i, dil in enumerate(dilations):
             h = nn.leaky_relu(h, 0.1)
-            h = nn.Conv(self.filters, (3, 9), strides=(1, 2),
-                        kernel_dilation=(dil, 1), dtype=self.dtype,
-                        name=f"conv_{i}")(h)
+            h = WNConv(self.filters, (3, 9), strides=(1, 2),
+                       kernel_dilation=(dil, 1), dtype=self.dtype,
+                       name=f"conv_{i}")(h)
             fmaps.append(h)
         h = nn.leaky_relu(h, 0.1)
-        h = nn.Conv(1, (3, 3), dtype=self.dtype, name="conv_post")(h)
+        h = WNConv(1, (3, 3), dtype=self.dtype, name="conv_post")(h)
         fmaps.append(h)
         return h.reshape(x.shape[0], -1), fmaps
 
@@ -174,13 +211,13 @@ class _BandDisc(nn.Module):
         for bi, (lo, hi) in enumerate(self.bands):
             h = spec[:, :, int(lo * F) : int(hi * F), :]
             for i in range(3):
-                h = nn.Conv(32, (3, 9), strides=(1, 2) if i else (1, 1),
-                            dtype=self.dtype, name=f"band{bi}_conv{i}")(h)
+                h = WNConv(32, (3, 9), strides=(1, 2) if i else (1, 1),
+                           dtype=self.dtype, name=f"band{bi}_conv{i}")(h)
                 h = nn.leaky_relu(h, 0.1)
                 fmaps.append(h)
             band_outs.append(h)
         h = jnp.concatenate(band_outs, axis=2)
-        h = nn.Conv(1, (3, 3), dtype=self.dtype, name="conv_post")(h)
+        h = WNConv(1, (3, 3), dtype=self.dtype, name="conv_post")(h)
         fmaps.append(h)
         return h.reshape(x.shape[0], -1), fmaps
 

@@ -45,14 +45,16 @@ class GenerateResult(NamedTuple):
 
 
 def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
-                   first_greedy_quant: int) -> Array:
+                   first_greedy_quant: int,
+                   reference_compat: bool = False) -> Array:
     """logits: (b, q, l) -> (b, q) int32; top-k for q < first_greedy_quant."""
     b, nq, _ = logits.shape
     cols = []
     for i in range(nq):
         key, sub = jax.random.split(key)
         if i < first_greedy_quant:
-            cols.append(topk_sampling(sub, logits[:, i], k=k, temp=temp))
+            cols.append(topk_sampling(sub, logits[:, i], k=k, temp=temp,
+                                      reference_compat=reference_compat))
         else:
             cols.append(topk_sampling(sub, logits[:, i], k=1))
     return jnp.stack(cols, axis=1)
@@ -62,7 +64,7 @@ def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
     jax.jit,
     static_argnames=(
         "model", "max_seqlen", "k", "first_greedy_quant", "temp",
-        "force_max_seqlen", "return_att",
+        "force_max_seqlen", "return_att", "reference_compat_sampling",
     ),
 )
 def generate_batch(
@@ -78,6 +80,7 @@ def generate_batch(
     temp: float = 1.0,
     force_max_seqlen: bool = False,
     return_att: bool = False,
+    reference_compat_sampling: bool = False,
 ) -> GenerateResult:
     """Generate codec tokens for a batch.
 
@@ -122,7 +125,8 @@ def generate_batch(
     keys_pre = jax.random.split(key, n_pre + 1)
     key = keys_pre[0]
     pre_tokens = jax.vmap(
-        lambda kk, lg: _sample_tokens(kk, lg, k, temp, first_greedy_quant),
+        lambda kk, lg: _sample_tokens(kk, lg, k, temp, first_greedy_quant,
+                                      reference_compat_sampling),
         in_axes=(0, 1), out_axes=1,
     )(keys_pre[1:], logits_pre)  # (b, n_pre, q)
 
@@ -173,7 +177,8 @@ def generate_batch(
             method=LinaModel.decode_step,
         )
         key, sub = jax.random.split(c.key)
-        toks = _sample_tokens(sub, logits, k, temp, first_greedy_quant)  # (b, q)
+        toks = _sample_tokens(sub, logits, k, temp, first_greedy_quant,
+                              reference_compat_sampling)  # (b, q)
         tokens = jax.lax.dynamic_update_index_in_dim(c.tokens, toks, c.t, axis=0)
         is_stop = jnp.all(toks == stop_id, axis=-1)
         stops = jax.lax.dynamic_update_index_in_dim(c.stops, is_stop, c.t, axis=0)

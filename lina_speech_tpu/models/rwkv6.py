@@ -139,7 +139,7 @@ class RWKV6Attention(nn.Module):
         x: Array,
         reset_mask: Optional[Array] = None,
         initial_state: Optional[RWKV6State] = None,
-        mode: str = "chunk",
+        mode: str = "auto",
         reset_val: float = -20.0,
         output_final_state: bool = False,
     ):
@@ -160,8 +160,24 @@ class RWKV6Attention(nn.Module):
         rh, kh, wh = self._split(r, dk), self._split(k, dk), self._split(lw, dk)
         vh = self._split(v, dv)
         s0 = initial_state.s if initial_state is not None else None
-        kern = rwkv6_chunk if mode == "chunk" else rwkv6_scan_ref
-        o, s_final = kern(rh, kh, vh, wh, self.time_faaaa, initial_state=s0)
+        if mode == "auto":
+            mode = self.kernel_mode
+        if mode == "auto":
+            # same policy as the GLA layer: the Pallas chunk kernel on TPU
+            # (fwd + handwritten bwd, custom-partitioning over dp x tp),
+            # the XLA chunk elsewhere
+            mode = "chunk_pallas" if jax.default_backend() == "tpu" else "chunk"
+        if mode == "chunk_pallas":
+            from lina_speech_tpu.ops.rwkv6_pallas import rwkv6_chunk_pallas
+
+            o, s_final = rwkv6_chunk_pallas(rh, kh, vh, wh, self.time_faaaa,
+                                            initial_state=s0)
+        elif mode == "chunk":
+            o, s_final = rwkv6_chunk(rh, kh, vh, wh, self.time_faaaa,
+                                     initial_state=s0)
+        else:
+            o, s_final = rwkv6_scan_ref(rh, kh, vh, wh, self.time_faaaa,
+                                        initial_state=s0)
 
         o = o.transpose(0, 2, 1, 3).reshape(b, t, self.value_dim)
         o = self.o_proj(self._group_norm(o) * g)

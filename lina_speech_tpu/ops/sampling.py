@@ -4,9 +4,12 @@ Mirrors ``topk_sampling`` (reference model/tools.py:38-44): keep the top-k
 logits, temperature-scale, renormalize and sample. The reference has a quirk
 where the k-th-value threshold is computed on *unscaled* logits but compared
 against temperature-scaled ones; at ``temp == 1`` (the only setting the
-released inference path uses alongside greedy ``k == 1``) both agree. We use
-the standard formulation: threshold and mask on unscaled logits, softmax over
-``logits / temp`` restricted to the kept set.
+released inference path uses alongside greedy ``k == 1``) both agree. The
+default here is the standard formulation: threshold and mask on unscaled
+logits, softmax over ``logits / temp`` restricted to the kept set.
+``reference_compat=True`` opts into the reference's exact behavior (bug
+included) for golden-token parity runs with temp != 1: at temp < 1 more
+than k candidates survive the threshold, at temp > 1 fewer.
 """
 from __future__ import annotations
 
@@ -14,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 
-def topk_sampling(key: jax.Array, logits: jnp.ndarray, k: int = 1, temp: float = 1.0) -> jnp.ndarray:
+def topk_sampling(key: jax.Array, logits: jnp.ndarray, k: int = 1,
+                  temp: float = 1.0, reference_compat: bool = False) -> jnp.ndarray:
     """Sample token ids from the top-k of ``logits``.
 
     Args:
@@ -22,6 +26,8 @@ def topk_sampling(key: jax.Array, logits: jnp.ndarray, k: int = 1, temp: float =
         logits: (..., vocab) float array.
         k: number of candidates kept (k=1 == greedy argmax).
         temp: softmax temperature applied to kept logits.
+        reference_compat: replicate the reference's unscaled-threshold-vs-
+            scaled-logits comparison (model/tools.py:41-43) exactly.
 
     Returns:
         (...,) int32 sampled ids.
@@ -29,5 +35,9 @@ def topk_sampling(key: jax.Array, logits: jnp.ndarray, k: int = 1, temp: float =
     if k == 1:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
-    masked = jnp.where(logits < kth, -jnp.inf, logits / temp)
+    if reference_compat:
+        scaled = logits / temp
+        masked = jnp.where(scaled < kth, -jnp.inf, scaled)
+    else:
+        masked = jnp.where(logits < kth, -jnp.inf, logits / temp)
     return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)

@@ -66,3 +66,24 @@ def test_pad_2d_sequence():
     assert out.shape == (2, 3, 3)
     assert out[0, 0, 0] == 1 and out[0, 1, 2] == 1
     assert out[1, 2, 0] == 2 and out[1, 0, 1] == 9
+
+
+def test_topk_sampling_reference_compat_mode():
+    """reference_compat replicates model/tools.py:38-44's quirk: the top-k
+    cutoff comes from UNSCALED logits but is compared against scaled ones,
+    so at temp < 1 more than k candidates survive."""
+    import jax
+    import numpy as np
+    from lina_speech_tpu.ops.sampling import topk_sampling
+
+    logits = jnp.asarray([[2.0, 1.9, 1.0, -10.0]])
+    ks = jax.random.split(jax.random.PRNGKey(0), 200)
+
+    std = np.asarray([topk_sampling(k, logits, k=2, temp=0.5)[0] for k in ks])
+    cmp_ = np.asarray([
+        topk_sampling(k, logits, k=2, temp=0.5, reference_compat=True)[0]
+        for k in ks
+    ])
+    assert set(np.unique(std)) <= {0, 1}          # standard: exactly top-2
+    assert 2 in np.unique(cmp_)                   # compat: index 2 leaks in
+    assert 3 not in np.unique(cmp_)               # far tail still masked
