@@ -24,11 +24,13 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 CODEC_HZ = 75.0
 
 
-def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int):
+def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int,
+                  lazy_window: int = 0):
     from lina_speech_tpu.generate import generate_batch
 
     key = jax.random.PRNGKey(0)
@@ -37,7 +39,7 @@ def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int):
     def run(k):
         return generate_batch(
             model, params, x, k, max_seqlen=steps, k=100,
-            force_max_seqlen=True,
+            force_max_seqlen=True, lazy_window=lazy_window,
         )
 
     # compile + warmup (checksum forces a host fetch)
@@ -122,21 +124,36 @@ def main():
         jnp.ones((bi, 16, text_len), bool), jnp.ones((bi, 16), bool),
     )
 
-    tok_s_stream, dt = _bench_decode(model, params, cfg, batch, steps, text_len)
+    # lazy micro-chunk decode wins at large batch (state-traffic-bound);
+    # classic per-token decode wins at b1 (weights-bound) — measured
+    lazy = int(os.environ.get("BENCH_LAZY", "8"))
+    if os.environ.get("BENCH_DECODE", "1") == "1":
+        tok_s_stream, dt = _bench_decode(model, params, cfg, batch, steps,
+                                         text_len, lazy_window=lazy)
+    else:  # train-only probe
+        tok_s_stream, dt, do_b1 = float("nan"), float("nan"), False
     rtf = batch * tok_s_stream / CODEC_HZ
+
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
 
     extra = []
     detail = {
         "steps": steps,
-        "seconds": round(dt, 3),
-        "codec_tokens_per_sec_per_stream": round(tok_s_stream, 1),
-        "codec_tokens_per_sec_total": round(batch * tok_s_stream, 1),
+        "seconds": round(dt, 3) if dt == dt else None,
+        "codec_tokens_per_sec_per_stream": round(tok_s_stream, 1) if dt == dt else None,
+        "codec_tokens_per_sec_total": round(batch * tok_s_stream, 1) if dt == dt else None,
         "state_dtype": state_dtype,
+        "lazy_window": lazy,
+        # NB the reference README labels this architecture "169M"; at the
+        # reference code's own defaults it counts ~359M (config.py note)
+        "params_m": round(n_params / 1e6, 1),
         "device": str(jax.devices()[0]),
     }
 
     if do_b1:
-        b1_tok_s, _ = _bench_decode(model, params, cfg, 1, steps, text_len)
+        b1_tok_s, _ = _bench_decode(model, params, cfg, 1, steps, text_len,
+                                    lazy_window=0)
         extra.append({
             "metric": "decode_tokens_per_sec_b1",
             "value": round(b1_tok_s, 1),
@@ -164,9 +181,9 @@ def main():
         json.dumps(
             {
                 "metric": f"aggregate_realtime_factor_b{batch}",
-                "value": round(rtf, 2),
+                "value": round(rtf, 2) if rtf == rtf else None,
                 "unit": "x_realtime_per_chip",
-                "vs_baseline": round(rtf / 10.0, 3),
+                "vs_baseline": round(rtf / 10.0, 3) if rtf == rtf else None,
                 "detail": detail,
                 "extra_metrics": extra,
             }

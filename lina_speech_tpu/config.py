@@ -86,7 +86,18 @@ class ModelConfig:
 
 
 def lina_gla_169m(**overrides) -> ModelConfig:
-    """The released flagship: Lina-GLA 169M, WavTokenizer nq1 (README.md:31-37)."""
+    """The released flagship: Lina-GLA "169M", WavTokenizer nq1 (README.md:31-37).
+
+    NB the reference README's "169M" label does not match its own code: at
+    the reference defaults this architecture (d1024, 12+12 GLA blocks +
+    pos_net, expand_v=2, SwiGLU FFNs, text encoder, embeddings/head) counts
+    ~359M parameters (reference gla.py:250-285 + modeling_lina.py:43-59 —
+    verified by instantiating this rebuild and auditing the reference
+    modules' shapes; the fla dependency is absent so the torch model can't
+    be constructed here). This config reproduces the reference
+    ARCHITECTURE exactly (shape-compatible with the released state_dict);
+    perf figures quoted per "169M" in this repo are measured on the real
+    ~359M model and are therefore conservative."""
     return dataclasses.replace(ModelConfig(), **overrides)
 
 

@@ -46,7 +46,8 @@ class GenerateResult(NamedTuple):
 
 def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
                    first_greedy_quant: int,
-                   reference_compat: bool = False) -> Array:
+                   reference_compat: bool = False,
+                   approx: bool = True) -> Array:
     """logits: (b, q, l) -> (b, q) int32; top-k for q < first_greedy_quant."""
     b, nq, _ = logits.shape
     cols = []
@@ -54,7 +55,8 @@ def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
         key, sub = jax.random.split(key)
         if i < first_greedy_quant:
             cols.append(topk_sampling(sub, logits[:, i], k=k, temp=temp,
-                                      reference_compat=reference_compat))
+                                      reference_compat=reference_compat,
+                                      approx=approx))
         else:
             cols.append(topk_sampling(sub, logits[:, i], k=1))
     return jnp.stack(cols, axis=1)
@@ -65,6 +67,7 @@ def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
     static_argnames=(
         "model", "max_seqlen", "k", "first_greedy_quant", "temp",
         "force_max_seqlen", "return_att", "reference_compat_sampling",
+        "approx_topk", "lazy_window",
     ),
 )
 def generate_batch(
@@ -81,6 +84,8 @@ def generate_batch(
     force_max_seqlen: bool = False,
     return_att: bool = False,
     reference_compat_sampling: bool = False,
+    approx_topk: bool = True,
+    lazy_window: int = 0,
 ) -> GenerateResult:
     """Generate codec tokens for a batch.
 
@@ -89,12 +94,37 @@ def generate_batch(
         prompt: optional (q, b, p) raw codec codes for voice cloning; offset
             by ``n_special_token_in`` internally (modeling_lina.py:136).
         init_state: optional BackboneState (e.g. from initial-state tuning).
+        approx_topk: TPU-native approximate top-k candidate selection for
+            the sampled quantizers (exact sort is a measurable per-step
+            cost at 4099 logits); greedy (k=1) and reference-compat paths
+            are always exact.
+        lazy_window: > 0 enables lazy micro-chunk decode with that window
+            size L (GLA backbones only): recurrent states become READ-ONLY
+            between folds, token contributions ride small (L, ...) buffers,
+            and one fold per window does the single state read+write — the
+            chunked-scan math applied incrementally, mathematically the
+            same recurrence. Decode then runs in windows of L tokens
+            (early-stop at window granularity).
     """
     b = x.shape[0]
     nq = model.n_quant
     stop_id = 2
 
     x_enc = model.apply(params, x, method=LinaModel.encode_text)
+
+    # Pre-cast fp32 params to the compute dtype ONCE, outside the decode
+    # loop. The flax modules cast per call; inside the token while_loop
+    # that re-converts the full ~359M-param tree every step unless XLA
+    # hoists it — pre-casting makes the loop body read the small dtype
+    # unconditionally. Numerics: identical wherever modules already cast
+    # (Dense/embeddings); norms keep fp32 statistics internally.
+    cdt = model.dtype
+    if cdt != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(cdt)
+            if (hasattr(p, "dtype") and p.dtype == jnp.float32) else p,
+            params,
+        )
 
     embed = lambda toks: model.apply(params, toks, method=LinaModel.embed_tokens)
     y_start = jnp.ones((nq, b, 1), jnp.int32)
@@ -126,17 +156,26 @@ def generate_batch(
     key = keys_pre[0]
     pre_tokens = jax.vmap(
         lambda kk, lg: _sample_tokens(kk, lg, k, temp, first_greedy_quant,
-                                      reference_compat_sampling),
+                                      reference_compat_sampling, approx_topk),
         in_axes=(0, 1), out_axes=1,
     )(keys_pre[1:], logits_pre)  # (b, n_pre, q)
 
     m = x_enc.shape[1]
 
-    tokens_buf = jnp.zeros((max_seqlen, b, nq), jnp.int32)
+    # lazy mode decodes whole windows; buffers get the overshoot room and
+    # outputs are sliced back to max_seqlen at the end
+    L = lazy_window
+    if L:
+        buf_len = n_pre + -(-(max(max_seqlen - n_pre, 0)) // L) * L
+        buf_len = max(buf_len, max_seqlen)
+    else:
+        buf_len = max_seqlen
+
+    tokens_buf = jnp.zeros((buf_len, b, nq), jnp.int32)
     tokens_buf = jax.lax.dynamic_update_slice_in_dim(
         tokens_buf, pre_tokens.transpose(1, 0, 2)[:max_seqlen], 0, axis=0
     )
-    stop_buf = jnp.zeros((max_seqlen, b), bool)
+    stop_buf = jnp.zeros((buf_len, b), bool)
     pre_stop = jnp.all(pre_tokens == stop_id, axis=-1)  # (b, n_pre)
     stop_buf = jax.lax.dynamic_update_slice_in_dim(
         stop_buf, pre_stop.transpose(1, 0)[:max_seqlen], 0, axis=0
@@ -144,7 +183,7 @@ def generate_batch(
 
     if return_att:
         att_dim = att_pre.shape[1]  # heads axis of returned attention
-        att_buf = jnp.zeros((max_seqlen, b, att_dim, m), att_pre.dtype)
+        att_buf = jnp.zeros((buf_len, b, att_dim, m), att_pre.dtype)
         att_pre_t = att_pre.transpose(2, 0, 1, 3)  # (n_pre, b, heads, m)
         att_buf = jax.lax.dynamic_update_slice_in_dim(
             att_buf, att_pre_t[:max_seqlen], 0, axis=0
@@ -171,14 +210,14 @@ def generate_batch(
             return c.t < max_seqlen
         return jnp.logical_and(c.t < max_seqlen, ~jnp.all(c.stopped))
 
-    def body(c: Carry):
+    def token_step(c: Carry, lazy_p=None) -> Carry:
         logits, att, state = model.apply(
-            params, c.y_embd, x_enc, c.state, time_step=c.t,
+            params, c.y_embd, x_enc, c.state, time_step=c.t, lazy_p=lazy_p,
             method=LinaModel.decode_step,
         )
         key, sub = jax.random.split(c.key)
         toks = _sample_tokens(sub, logits, k, temp, first_greedy_quant,
-                              reference_compat_sampling)  # (b, q)
+                              reference_compat_sampling, approx_topk)  # (b, q)
         tokens = jax.lax.dynamic_update_index_in_dim(c.tokens, toks, c.t, axis=0)
         is_stop = jnp.all(toks == stop_id, axis=-1)
         stops = jax.lax.dynamic_update_index_in_dim(c.stops, is_stop, c.t, axis=0)
@@ -189,16 +228,34 @@ def generate_batch(
         return Carry(c.t + 1, y_embd, state, tokens, stops, att_b,
                      c.stopped | is_stop, key)
 
+    if L:
+        from lina_speech_tpu.models.attentive_rnn import (
+            add_lazy_buffers, fold_lazy_state,
+        )
+
+        state = add_lazy_buffers(state, L, dtype=y_embd0.dtype)
+
+        def body(c: Carry) -> Carry:
+            # one WINDOW: L lazy steps (base states read-only, loop carries
+            # only the small buffers' updates), then one unconditional fold
+            c = jax.lax.fori_loop(
+                0, L, lambda j, cc: token_step(cc, lazy_p=j), c)
+            return c._replace(state=fold_lazy_state(c.state))
+
+    else:
+        body = token_step
+
     init = Carry(jnp.asarray(n_pre), y_next, state, tokens_buf, stop_buf,
                  att_buf, stopped, key)
     out = jax.lax.while_loop(cond, body, init)
 
-    tokens = out.tokens.transpose(2, 1, 0)  # (q, b, max_seqlen)
-    stop_mask = out.stops.transpose(1, 0)  # (b, max_seqlen)
+    tokens = out.tokens[:max_seqlen].transpose(2, 1, 0)  # (q, b, max_seqlen)
+    stop_mask = out.stops[:max_seqlen].transpose(1, 0)  # (b, max_seqlen)
     first_stop = jnp.argmax(stop_mask, axis=1)
-    lengths = jnp.where(jnp.any(stop_mask, axis=1), first_stop + 1, out.t)
-    att = out.att.transpose(1, 0, 2, 3) if return_att else None
-    return GenerateResult(tokens, stop_mask, lengths, att, out.t)
+    n_steps = jnp.minimum(out.t, max_seqlen)
+    lengths = jnp.where(jnp.any(stop_mask, axis=1), first_stop + 1, n_steps)
+    att = out.att[:max_seqlen].transpose(1, 0, 2, 3) if return_att else None
+    return GenerateResult(tokens, stop_mask, lengths, att, n_steps)
 
 
 def cut_outputs(result: GenerateResult, n_quant: int, n_special_token_in: int = 3):

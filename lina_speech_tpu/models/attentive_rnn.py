@@ -40,10 +40,35 @@ from lina_speech_tpu.models.crossatt import (
 from lina_speech_tpu.models.gla_layer import (
     GatedLinearAttention,
     GLAState,
+    gla_add_lazy_buffers,
     gla_empty_state,
+    gla_fold_lazy_state,
 )
 
 Array = jnp.ndarray
+
+
+def add_lazy_buffers(state: "BackboneState", window: int,
+                     dtype=jnp.bfloat16) -> "BackboneState":
+    """Attach lazy micro-chunk window buffers to every GLA layer state
+    (pure; raises for backbones whose mixers don't support lazy decode)."""
+    def one(st):
+        if isinstance(st, GLAState):
+            return gla_add_lazy_buffers(st, window, dtype)
+        raise TypeError(f"lazy decode unsupported for {type(st).__name__}")
+
+    pos = one(state.pos_net) if state.pos_net is not None else None
+    return BackboneState(layers=tuple(one(s) for s in state.layers),
+                         pos_net=pos)
+
+
+def fold_lazy_state(state: "BackboneState") -> "BackboneState":
+    """Fold every layer's buffered window into its base state (pure)."""
+    pos = (gla_fold_lazy_state(state.pos_net)
+           if state.pos_net is not None else None)
+    return BackboneState(
+        layers=tuple(gla_fold_lazy_state(s) for s in state.layers),
+        pos_net=pos)
 
 
 @flax.struct.dataclass
@@ -203,19 +228,26 @@ class EncoderCrossDecoder(nn.Module):
         mask: Optional[Array] = None,
         crossatt_pos: Optional[Array] = None,
         time_step: Optional[Array] = None,
+        lazy_p: Optional[Array] = None,
     ):
         """y_embd: (b, d) current token embedding; x_enc: (b, m, d).
 
         Returns (y (b, d), att, new_state). Mirrors gla.py:358-365.
+        ``lazy_p`` (window position, () int32) switches every mixer to the
+        lazy micro-chunk step — states must carry the window buffers
+        (:func:`add_lazy_buffers`), and the caller folds once per window
+        (:func:`fold_lazy_state`).
         """
+        run = (lambda blk, y, st: blk.step_lazy(y, st, lazy_p)) \
+            if lazy_p is not None else (lambda blk, y, st: blk.step(y, st))
         layers = list(state.layers)
         for i, blk in enumerate(self.encoder):
-            y_embd, layers[i] = blk.step(y_embd, layers[i])
+            y_embd, layers[i] = run(blk, y_embd, layers[i])
 
         if self._has_stateful_crossatt:
             v, att, pos_net_state = self.cross_att.step(
                 y_embd, x_enc, state.pos_net, mask=mask, pos=crossatt_pos,
-                time_step=time_step,
+                time_step=time_step, lazy_p=lazy_p,
             )
         else:
             v, att = self.cross_att(
@@ -227,7 +259,7 @@ class EncoderCrossDecoder(nn.Module):
 
         for i, blk in enumerate(self.decoder):
             j = self.n_layer + i
-            y_embd, layers[j] = blk.step(y_embd, layers[j])
+            y_embd, layers[j] = run(blk, y_embd, layers[j])
 
         return y_embd, att, BackboneState(layers=tuple(layers), pos_net=pos_net_state)
 
@@ -369,12 +401,14 @@ class InterleavedCrossAtt(nn.Module):
         return x, att
 
     def step(self, y_embd, x_enc, state: BackboneState, mask=None, crossatt_pos=None,
-             time_step=None):
+             time_step=None, lazy_p=None):
         idx = {k: i for i, k in enumerate(self.cross_att_layers)}
         layers = list(state.layers)
         atts = []
+        run = (lambda blk, y, st: blk.step_lazy(y, st, lazy_p)) \
+            if lazy_p is not None else (lambda blk, y, st: blk.step(y, st))
         for i, blk in enumerate(self.blocks):
-            y_embd, layers[i] = blk.step(y_embd, layers[i])
+            y_embd, layers[i] = run(blk, y_embd, layers[i])
             if i in idx:
                 v, att = self.cross_att[idx[i]](y_embd[:, None], x_enc, mask=mask,
                                                 time_step=time_step,

@@ -145,3 +145,10 @@ class MixingBlock(nn.Module):
         x = y + x_t
         x = self.cmix(self.norm2(x)) + x
         return x, state
+
+    def step_lazy(self, x_t: Array, state, p):
+        """Lazy micro-chunk decode token (tmix must expose ``step_lazy``)."""
+        y, state = self.tmix.step_lazy(self.norm1(x_t), state, p)
+        x = y + x_t
+        x = self.cmix(self.norm2(x)) + x
+        return x, state

@@ -208,6 +208,7 @@ class BlindCrossAttention(nn.Module):
         mask: Optional[Array] = None,
         pos: Optional[Array] = None,
         time_step: Optional[Array] = None,
+        lazy_p: Optional[Array] = None,
     ):
         """One decode token. q_t: (b, d); k: (b, j, d_k). Returns
         (out (b, d_att), att (b, 2, j), new_pos_net_state)."""
@@ -221,7 +222,11 @@ class BlindCrossAttention(nn.Module):
             mask = mask[:, None]
 
         x, att1 = sdpa(qh, kh, pe, mask=mask, return_weights=True)
-        x, pos_net_state = self.pos_net.step(x[:, 0, 0], pos_net_state)
+        if lazy_p is not None:
+            x, pos_net_state = self.pos_net.step_lazy(x[:, 0, 0],
+                                                      pos_net_state, lazy_p)
+        else:
+            x, pos_net_state = self.pos_net.step(x[:, 0, 0], pos_net_state)
         x, att2 = sdpa(x[:, None, None], pe, vh, mask=mask, return_weights=True)
         att = jnp.concatenate([att1, att2], axis=1)[:, :, 0]  # (b, 2, j)
         return x[:, 0, 0], att, pos_net_state
@@ -268,7 +273,8 @@ class CrossAttentionPP(nn.Module):
         return y, att, inter_final
 
     def step(self, q_t: Array, k: Array, pos_net_state, mask: Optional[Array] = None,
-             pos: Optional[Array] = None, time_step: Optional[Array] = None):
+             pos: Optional[Array] = None, time_step: Optional[Array] = None,
+             lazy_p: Optional[Array] = None):
         b, n, d = k.shape
         pe = self.pos_emb(jnp.arange(n))[None]
         k_pos = k + pe
@@ -276,7 +282,11 @@ class CrossAttentionPP(nn.Module):
             mask = mask[:, None]
         y, att1 = self.ca_0(q_t[:, None], k, k_pos, mask=mask, time_step=time_step,
                             return_weights=True)
-        y, pos_net_state = self.inter_net.step(y[:, 0], pos_net_state)
+        if lazy_p is not None:
+            y, pos_net_state = self.inter_net.step_lazy(y[:, 0], pos_net_state,
+                                                        lazy_p)
+        else:
+            y, pos_net_state = self.inter_net.step(y[:, 0], pos_net_state)
         y, att2 = self.ca_1(y[:, None], k_pos, k, mask=mask, return_weights=True)
         att = jnp.concatenate([att1, att2], axis=1)[:, :, 0]
         return y[:, 0], att, pos_net_state

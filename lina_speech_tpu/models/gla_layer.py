@@ -44,6 +44,34 @@ class GLAState:
     conv_k: Optional[Array] = None  # (w, b, key_dim)
     conv_v: Optional[Array] = None  # (w, b, value_dim)
     conv_h: Optional[Array] = None  # (w, b, hidden) when share_conv_kernel
+    # lazy micro-chunk decode buffers (ops/gla.py:gla_decode_lazy_step):
+    # present only when generation runs in lazy mode. ``s`` is then the
+    # base state as of the last fold (read-only between folds).
+    kbuf: Optional[Array] = None  # (L, b, h, dk)
+    vbuf: Optional[Array] = None  # (L, b, h, dv)
+    cbuf: Optional[Array] = None  # (L, b, h, dk) fp32 gate cumsums
+    cc: Optional[Array] = None    # (b, h, dk) fp32 cumsum since fold
+
+
+def gla_add_lazy_buffers(state: GLAState, window: int,
+                         dtype: Any = jnp.bfloat16) -> GLAState:
+    """Attach zeroed lazy-decode window buffers sized from ``state.s``."""
+    b, h, dk, dv = state.s.shape
+    return state.replace(
+        kbuf=jnp.zeros((window, b, h, dk), dtype),
+        vbuf=jnp.zeros((window, b, h, dv), dtype),
+        cbuf=jnp.zeros((window, b, h, dk), jnp.float32),
+        cc=jnp.zeros((b, h, dk), jnp.float32),
+    )
+
+
+def gla_fold_lazy_state(state: GLAState) -> GLAState:
+    """Fold the buffered window into the base state (pure; no params)."""
+    from lina_speech_tpu.ops.gla import gla_decode_lazy_fold
+
+    s, kbuf, vbuf, cbuf, cc = gla_decode_lazy_fold(
+        state.s, state.kbuf, state.vbuf, state.cbuf, state.cc)
+    return state.replace(s=s, kbuf=kbuf, vbuf=vbuf, cbuf=cbuf, cc=cc)
 
 
 def gla_empty_state(
@@ -360,6 +388,40 @@ class GatedLinearAttention(nn.Module):
         )
         state = state.replace(s=s)
         # one-token output path: (b, h, dv) -> gate/merge/project via seq dim 1
+        out = self._output(o[:, :, None, :], h_t[:, None, :])[:, 0]
+        return out, state
+
+    def step_lazy(self, x_t: Array, state: GLAState, p: Array) -> Tuple[Array, GLAState]:
+        """Lazy micro-chunk decode step (ops/gla.py:gla_decode_lazy_step):
+        the recurrent state is READ-ONLY; the token lands in the window
+        buffers; the caller folds via :func:`gla_fold_lazy_state` once per
+        window. ``p``: () int32 position within the window."""
+        from lina_speech_tpu.ops.gla import gla_decode_lazy_step
+
+        b = x_t.shape[0]
+        h_t = x_t
+        if self.use_short_conv and self.share_conv_kernel:
+            h_t, conv_h = self.h_conv1d.step(x_t, state.conv_h)
+            q, k, v = self.q_proj(h_t), self.k_proj(h_t), self.v_proj(h_t)
+            state = state.replace(conv_h=conv_h)
+        elif self.use_short_conv:
+            q, conv_q = self.q_conv1d.step(self.q_proj(x_t), state.conv_q)
+            k, conv_k = self.k_conv1d.step(self.k_proj(x_t), state.conv_k)
+            v, conv_v = self.v_conv1d.step(self.v_proj(x_t), state.conv_v)
+            state = state.replace(conv_q=conv_q, conv_k=conv_k, conv_v=conv_v)
+        else:
+            q, k, v = self.q_proj(x_t), self.k_proj(x_t), self.v_proj(x_t)
+
+        gk = self._raw_gates(h_t)
+        hsplit = lambda z, d: z.reshape(b, self.num_heads, d)
+        o, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step(
+            hsplit(q, self.head_qk_dim),
+            hsplit(k, self.head_qk_dim),
+            hsplit(v, self.head_v_dim),
+            hsplit(gk, self.head_qk_dim),
+            state.s, state.kbuf, state.vbuf, state.cbuf, state.cc, p,
+        )
+        state = state.replace(kbuf=kbuf, vbuf=vbuf, cbuf=cbuf, cc=cc)
         out = self._output(o[:, :, None, :], h_t[:, None, :])[:, 0]
         return out, state
 

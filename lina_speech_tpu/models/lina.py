@@ -149,13 +149,17 @@ class LinaModel(nn.Module):
         state: BackboneState,
         crossatt_pos: Optional[Array] = None,
         time_step: Optional[Array] = None,
+        lazy_p: Optional[Array] = None,
     ):
         """One AR token: backbone step + per-quantizer logits.
 
-        y_embd: (b, d) -> (logits (b, q, l), att, new_state).
+        y_embd: (b, d) -> (logits (b, q, l), att, new_state). ``lazy_p``
+        selects the lazy micro-chunk decode path (read-only recurrent
+        states + window buffers; see generate.py lazy_window).
         """
         y, att, state = self.attentive_rnn.step(
-            y_embd, x_enc, state, crossatt_pos=crossatt_pos, time_step=time_step
+            y_embd, x_enc, state, crossatt_pos=crossatt_pos,
+            time_step=time_step, lazy_p=lazy_p,
         )
         logits = self._head(y[:, None])[:, 0]  # (b, q, l)
         return logits, att, state

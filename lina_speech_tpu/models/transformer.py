@@ -135,7 +135,11 @@ class TransformerCrossAtt(nn.Module):
         return x, att
 
     def step(self, y_embd: Array, x_enc: Array, state: TransformerState,
-             mask=None, crossatt_pos=None, time_step=None):
+             mask=None, crossatt_pos=None, time_step=None, lazy_p=None):
+        if lazy_p is not None:
+            raise NotImplementedError(
+                "lazy decode applies to linear-attention backbones; the "
+                "transformer baseline uses a KV cache")
         idx = {k: i for i, k in enumerate(self.cross_att_layers)}
         layers = list(state.layers)
         atts = []

@@ -106,6 +106,81 @@ def gla_decode_step(
     return o.astype(q.dtype), state.astype(out_dtype)
 
 
+def gla_decode_lazy_step(
+    q: Array,
+    k: Array,
+    v: Array,
+    gk: Array,
+    s_base: Array,
+    kbuf: Array,
+    vbuf: Array,
+    cbuf: Array,
+    cc: Array,
+    p: Array,
+    scale: Optional[float] = None,
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """Lazy-decay micro-chunk decode step: READ-ONLY base state.
+
+    Decode at large batch is bound by recurrent-state HBM traffic; the
+    classic step reads AND writes the (b, h, dk, dv) state every token.
+    Here the state is only read (for the inter-window readout), the last
+    ``p + 1`` tokens of the current window live in small (L, ...) buffers,
+    and :func:`gla_decode_lazy_fold` folds them into the state once per L
+    tokens — the exact chunked-scan math (ops/gla.py:gla_chunk inter
+    update) applied incrementally, so the recurrence is unchanged.
+
+    Args:
+        q, k, gk: (b, h, dk); v: (b, h, dv).
+        s_base: (b, h, dk, dv) state as of the last fold (NOT updated here).
+        kbuf: (L, b, h, dk); vbuf: (L, b, h, dv) window token buffers.
+        cbuf: (L, b, h, dk) fp32 gate cumsums at each buffered token.
+        cc: (b, h, dk) fp32 gate cumsum since the last fold.
+        p: () int32 position in the window (0-based).
+
+    Returns (o, kbuf, vbuf, cbuf, cc) with the current token appended at
+    ``p``. Every exp argument is <= 0: cc is non-increasing, and for
+    buffered positions j <= p, cc <= cbuf[j].
+    """
+    scale = _default_scale(q, scale)
+    L = kbuf.shape[0]
+    qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, gk))
+    cc = cc + gf
+    kbuf = jax.lax.dynamic_update_index_in_dim(kbuf, k, p, axis=0)
+    vbuf = jax.lax.dynamic_update_index_in_dim(vbuf, v, p, axis=0)
+    cbuf = jax.lax.dynamic_update_index_in_dim(
+        cbuf, cc.astype(cbuf.dtype), p, axis=0)
+
+    o = jnp.einsum("bhk,bhkv->bhv", qf * scale * jnp.exp(cc),
+                   s_base.astype(jnp.float32))
+    # intra-window corrections: j <= p only (stale slots masked; clamp keeps
+    # their exp args <= 0 regardless of stale cbuf contents)
+    live = (jnp.arange(L) <= p).astype(jnp.float32)[:, None, None, None]
+    w = jnp.exp(jnp.minimum(cc[None] - cbuf.astype(jnp.float32), 0.0)) * live
+    a = jnp.einsum("bhk,lbhk->lbh", qf * scale,
+                   kbuf.astype(jnp.float32) * w)
+    o = o + jnp.einsum("lbh,lbhv->bhv", a, vbuf.astype(jnp.float32))
+    return o.astype(q.dtype), kbuf, vbuf, cbuf, cc
+
+
+def gla_decode_lazy_fold(
+    s_base: Array,
+    kbuf: Array,
+    vbuf: Array,
+    cbuf: Array,
+    cc: Array,
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """Fold a full window of buffered tokens into the base state
+    (one state read+write per L tokens): S = exp(cc) * S + sum_j
+    (k_j * exp(cc - c_j))^T v_j — the chunk-scan state update."""
+    out_dtype = s_base.dtype
+    dec = jnp.exp(jnp.minimum(cc[None] - cbuf.astype(jnp.float32), 0.0))
+    s = jnp.exp(cc)[..., None] * s_base.astype(jnp.float32) + jnp.einsum(
+        "lbhk,lbhv->bhkv", kbuf.astype(jnp.float32) * dec,
+        vbuf.astype(jnp.float32))
+    return (s.astype(out_dtype), jnp.zeros_like(kbuf), jnp.zeros_like(vbuf),
+            jnp.zeros_like(cbuf), jnp.zeros_like(cc))
+
+
 def gla_chunk(
     q: Array,
     k: Array,

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 
 def topk_sampling(key: jax.Array, logits: jnp.ndarray, k: int = 1,
-                  temp: float = 1.0, reference_compat: bool = False) -> jnp.ndarray:
+                  temp: float = 1.0, reference_compat: bool = False,
+                  approx: bool = False) -> jnp.ndarray:
     """Sample token ids from the top-k of ``logits``.
 
     Args:
@@ -28,12 +29,23 @@ def topk_sampling(key: jax.Array, logits: jnp.ndarray, k: int = 1,
         temp: softmax temperature applied to kept logits.
         reference_compat: replicate the reference's unscaled-threshold-vs-
             scaled-logits comparison (model/tools.py:41-43) exactly.
+        approx: use the TPU-native ``jax.lax.approx_max_k`` (recall ~0.95)
+            instead of the exact sort — much cheaper per decode step; the
+            candidate set may miss a tail top-k entry, which under
+            temperature sampling is statistically immaterial. Ignored in
+            reference_compat mode (parity wants exact).
 
     Returns:
         (...,) int32 sampled ids.
     """
     if k == 1:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if approx and not reference_compat:
+        vals, idx = jax.lax.approx_max_k(logits, k, recall_target=0.95)
+        choice = jax.random.categorical(key, vals.astype(jnp.float32) / temp,
+                                        axis=-1)
+        return jnp.take_along_axis(
+            idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     if reference_compat:
         scaled = logits / temp

@@ -58,6 +58,12 @@ def fit(args) -> None:
     )
     disc_step, gen_step = make_codec_gan_steps(wavtok, mpd, mrd, gen_tx, disc_tx, gan_cfg)
 
+    # validation hooks: SI-SNR/LSD/mel always; UTMOS/PESQ when assets exist
+    from lina_speech_tpu.codec.metrics import external_metric_hooks, quality_metrics
+
+    hooks = external_metric_hooks(utmos_path=args.utmos_ckpt,
+                                  sample_rate=gan_cfg.sample_rate)
+
     logger = MetricsLogger(args.log_file, print_every=args.log_every)
     timer = StepTimer()
     for i, audio in enumerate(itertools.chain([audio0], data)):
@@ -71,6 +77,10 @@ def fit(args) -> None:
             logger.log(i, {**{k: float(v) for k, v in dmetrics.items()},
                            **{k: float(v) for k, v in gmetrics.items()},
                            "step_time_s": timer.last})
+        if args.val_every and i > 0 and i % args.val_every == 0:
+            recon = wavtok.apply(state.gen_params, audio)[:, : audio.shape[-1]]
+            qm = quality_metrics(recon, audio, gan_cfg.sample_rate, hooks)
+            logger.log(i, {f"val_{k}": float(v) for k, v in qm.items()})
     if args.ckpt_dir:
         import os
 
@@ -88,6 +98,10 @@ def main(argv=None):
     f.add_argument("--crop-len", type=int, default=24000)
     f.add_argument("--pretrain-mel-steps", type=int, default=0)
     f.add_argument("--tiny", action="store_true")
+    f.add_argument("--val-every", type=int, default=0,
+                   help="run quality metrics every N steps (0 = off)")
+    f.add_argument("--utmos-ckpt", type=str, default=None,
+                   help="TorchScript UTMOS MOS-predictor path (optional)")
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--ckpt-dir", type=str, default=None)
     f.add_argument("--log-every", type=int, default=10)

@@ -61,10 +61,16 @@ def main():
             CQ = tuple(o[1] for o in outs)
             CK = tuple(o[2] for o in outs)
             CV = tuple(o[3] for o in outs)
-            return S, CQ, CK, CV, acc + outs[-1][-1].sum()
+            # EVERY layer's output must feed acc: the 25 chains are
+            # independent here, and anything dead gets DCE'd by XLA
+            # (first version summed only the last layer and measured 1/25th
+            # of the work)
+            osum = sum(o[-1].sum() for o in outs)
+            return S, CQ, CK, CV, acc + osum
         out = jax.lax.fori_loop(0, ITERS, body, (S, CQ, CK, CV,
                                                  jnp.zeros((), jnp.float32)))
-        return out[-1]
+        # final states feed the result too, keeping the state chains live
+        return out[-1] + sum(s[0, 0, 0, 0].astype(jnp.float32) for s in out[0])
 
     timeit(f"conv-fused kernel x{LAYERS} (b={B})", kern_loop, S, CQ, CK, CV)
 
@@ -87,7 +93,7 @@ def main():
     timeit(f"projection GEMMs x{LAYERS} (b={B})", proj_loop,
            jnp.ones((B, D), dt))
 
-    # ---- full model decode step + pieces
+    # ---- model init (for head/sampling/full-step probes)
     from lina_speech_tpu.config import lina_gla_169m, build_model
     from lina_speech_tpu.models.lina import LinaModel
 
@@ -102,17 +108,6 @@ def main():
     state = model.empty_state(B)
     y_embd = jnp.zeros((B, 1024), jnp.bfloat16)
 
-    def full_loop(y_embd, state):
-        def body(i, carry):
-            y_embd, state, acc = carry
-            logits, _, state = model.apply(params, y_embd, x_enc, state,
-                                           method=LinaModel.decode_step)
-            return y_embd, state, acc + logits.sum()
-        _, _, acc = jax.lax.fori_loop(0, ITERS, body,
-                                      (y_embd, state, jnp.zeros((), jnp.float32)))
-        return acc
-
-    timeit(f"full decode_step (169M, b={B})", full_loop, y_embd, state)
 
     # ---- logits head + embed only
     def head_loop(y_embd):
@@ -128,6 +123,41 @@ def main():
         timeit(f"logits head (b={B})", head_loop, y_embd)
     except Exception as e:
         print("logits head: skipped:", e)
+
+    # ---- sampling (top-k 100 over 4099) + embed, the generate-loop extras
+    from lina_speech_tpu.generate import _sample_tokens
+    from lina_speech_tpu.models.lina import LinaModel as _LM
+
+    logits = jax.random.normal(key, (B, 1, 4099), jnp.float32)
+
+    def sample_loop(logits):
+        def body(i, carry):
+            logits, acc = carry
+            kk = jax.random.fold_in(jax.random.PRNGKey(7), i)
+            toks = _sample_tokens(kk, logits, 100, 1.0, 1)
+            emb = model.apply(params, toks.T[:, :, None],
+                              method=_LM.embed_tokens)
+            return logits, acc + emb.sum()
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 (logits, jnp.zeros((), jnp.bfloat16)))[1]
+
+    timeit(f"top-k sample + embed (b={B})", sample_loop, logits)
+
+    # ---- full decode_step (AB_FULL=1 to enable: this fori_loop program
+    # has repeatedly broken the axon remote-compile tunnel mid-compile;
+    # bench.py's generate program measures the full step reliably)
+    if os.environ.get("AB_FULL", "0") == "1":
+        def full_loop(y_embd, state):
+            def body(i, carry):
+                y_embd, state, acc = carry
+                logits, _, state = model.apply(params, y_embd, x_enc, state,
+                                               method=LinaModel.decode_step)
+                return y_embd, state, acc + logits.sum()
+            _, _, acc = jax.lax.fori_loop(0, ITERS, body,
+                                          (y_embd, state, jnp.zeros((), jnp.float32)))
+            return acc
+
+        timeit(f"full decode_step (b={B})", full_loop, y_embd, state)
 
 
 if __name__ == "__main__":

@@ -70,3 +70,22 @@ def test_prompt_prefill_matches_stepwise():
     manual = jnp.stack(toks_seq, axis=2).transpose(1, 0, 2)  # (q, b, t)
 
     np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(manual))
+
+
+def test_lazy_window_matches_classic_decode():
+    """lazy_window decode (read-only base states + window buffers + one
+    fold per window) must produce token-identical greedy output to the
+    classic per-token path — it is the same recurrence, reassociated."""
+    model, params, (x, *_rest) = model_and_params()
+    res_c = generate_batch(
+        model, params, x, jax.random.PRNGKey(5), max_seqlen=14, k=1,
+        force_max_seqlen=True,
+    )
+    res_l = generate_batch(
+        model, params, x, jax.random.PRNGKey(5), max_seqlen=14, k=1,
+        force_max_seqlen=True, lazy_window=4,
+    )
+    np.testing.assert_array_equal(np.asarray(res_l.tokens),
+                                  np.asarray(res_c.tokens))
+    np.testing.assert_array_equal(np.asarray(res_l.stop_mask),
+                                  np.asarray(res_c.stop_mask))

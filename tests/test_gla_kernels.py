@@ -127,3 +127,37 @@ def test_bf16_io_fp32_state():
     np.testing.assert_allclose(
         np.asarray(o, np.float32), np.asarray(o_ref, np.float32), rtol=0.1, atol=0.1
     )
+
+
+def test_lazy_decode_matches_classic_steps():
+    """Lazy micro-chunk decode (read-only base state + window buffers +
+    periodic fold) is the chunk-scan math applied incrementally; outputs
+    and the post-fold state must match the classic per-token recurrence."""
+    from lina_speech_tpu.ops.gla import (
+        gla_decode_lazy_fold, gla_decode_lazy_step,
+    )
+
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(3), b=2, h=2, t=12, dk=16, dv=24)
+    L = 4
+    state_c = jnp.zeros((2, 2, 16, 24), jnp.float32)
+    s_base = state_c
+    kbuf = jnp.zeros((L, 2, 2, 16))
+    vbuf = jnp.zeros((L, 2, 2, 24))
+    cbuf = jnp.zeros((L, 2, 2, 16))
+    cc = jnp.zeros((2, 2, 16))
+
+    from lina_speech_tpu.ops import gla_decode_step
+
+    for t in range(12):
+        o_c, state_c = gla_decode_step(q[:, :, t], k[:, :, t], v[:, :, t],
+                                       gk[:, :, t], state_c)
+        o_l, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step(
+            q[:, :, t], k[:, :, t], v[:, :, t], gk[:, :, t],
+            s_base, kbuf, vbuf, cbuf, cc, jnp.asarray(t % L))
+        np.testing.assert_allclose(np.asarray(o_l), np.asarray(o_c),
+                                   rtol=1e-5, atol=1e-5)
+        if t % L == L - 1:
+            s_base, kbuf, vbuf, cbuf, cc = gla_decode_lazy_fold(
+                s_base, kbuf, vbuf, cbuf, cc)
+            np.testing.assert_allclose(np.asarray(s_base), np.asarray(state_c),
+                                       rtol=1e-5, atol=1e-5)
