@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -21,9 +20,19 @@ def topk_accuracy(
     ignore_index: Sequence[int] = (0, 1),
     mask: Array | None = None,
 ) -> Array:
-    """logits: (..., l); target: (...) int. Returns scalar accuracy."""
-    _, idx = jax.lax.top_k(logits, top_k)
-    hit = jnp.any(idx == target[..., None], axis=-1)
+    """logits: (..., l); target: (...) int. Returns scalar accuracy.
+
+    "Target in top-k" is evaluated as rank-by-comparison — count of logits
+    strictly greater than the target's logit < k — one reduction pass
+    instead of ``lax.top_k``'s k-pass/sort lowering (this runs inside the
+    train step; B*T*4099 top-k was measurable step time). Equals the
+    top_k-based definition whenever the target's logit is not tied with
+    the k-th largest (ties are measure-zero for real logits).
+    """
+    tgt_logit = jnp.take_along_axis(
+        logits, target[..., None].astype(jnp.int32), axis=-1
+    )
+    hit = (logits > tgt_logit).sum(axis=-1) < top_k
     valid = jnp.ones_like(target, dtype=bool)
     for ig in ignore_index:
         valid &= target != ig

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -41,7 +42,10 @@ def causal_depthwise_conv(
     if bias is not None:
         out = out + bias[None, None, :]
     if activation == "silu":
-        out = out * jnp.asarray(jnp.reciprocal(1.0 + jnp.exp(-out.astype(jnp.float32))), out.dtype)
+        # silu in the IO dtype: the fp32 upcast/downcast pair was measurable
+        # step time (VPU convert-bound, like the decode kernel pre-fusion);
+        # bf16 sigmoid is numerically safe (bounded output)
+        out = out * jax.nn.sigmoid(out)
     return out
 
 
@@ -69,5 +73,7 @@ def short_conv_step(
     if bias is not None:
         out = out + bias[None, :]
     if activation == "silu":
+        # f32 silu on the rounded tap sum — bit-matches the fused Pallas
+        # decode kernel's in-VMEM epilogue (gla_pallas.py conv())
         out = out * jnp.asarray(jnp.reciprocal(1.0 + jnp.exp(-out.astype(jnp.float32))), out.dtype)
     return out, new_state
