@@ -53,7 +53,8 @@ def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int,
     return steps / dt, dt  # tokens/s per stream, seconds
 
 
-def _bench_train(cfg, batch: int, seqlen: int, text_len: int, steps: int):
+def _bench_train(cfg, batch: int, seqlen: int, text_len: int, steps: int,
+                 accum: int = 1):
     from lina_speech_tpu.config import build_model
     from lina_speech_tpu.train import TrainConfig, create_train_state, make_train_step
 
@@ -73,7 +74,7 @@ def _bench_train(cfg, batch: int, seqlen: int, text_len: int, steps: int):
                         jnp.ones((batch, 16, text_len), bool),
                         jnp.ones((batch, 16), bool))
     state = create_train_state(model, params, TrainConfig())
-    train_step = make_train_step(model)
+    train_step = make_train_step(model, grad_accum_steps=accum)
     rng = jax.random.PRNGKey(2)
 
     # compile + 2 warmup steps
@@ -166,14 +167,15 @@ def main():
         tb = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
         tl = int(os.environ.get("BENCH_TRAIN_LEN", "512"))
         ts = int(os.environ.get("BENCH_TRAIN_STEPS", "8"))
-        train_tok_s, step_s = _bench_train(cfg, tb, tl, text_len, ts)
+        ta = int(os.environ.get("BENCH_TRAIN_ACCUM", "1"))
+        train_tok_s, step_s = _bench_train(cfg, tb, tl, text_len, ts, accum=ta)
         extra.append({
             "metric": "train_tokens_per_sec_per_chip",
             "value": round(train_tok_s, 0),
             "unit": "tokens_per_sec",
             # round-1 measured baseline: 28,240 tok/s/chip (BASELINE.md)
             "vs_baseline": round(train_tok_s / 28240.0, 3),
-            "detail": {"batch": tb, "seqlen": tl,
+            "detail": {"batch": tb, "seqlen": tl, "accum": ta,
                        "ms_per_step": round(step_s * 1e3, 1)},
         })
 
