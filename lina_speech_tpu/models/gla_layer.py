@@ -269,10 +269,29 @@ class GatedLinearAttention(nn.Module):
         padding); ``initial_state.s`` seeds the recurrence (init-state
         tuning, generation prefill).
         """
+        if mode == "auto":
+            mode = self.kernel_mode
+        if mode == "auto":
+            # TPU: the Pallas kernel wins fwd+bwd (3.15 vs 5.12 ms at
+            # B8 H4 T512 on v5e) and serves prefill/tuning too (returns the
+            # final state, differentiable w.r.t. s0). It carries a
+            # custom-partitioning rule (batch/head-parallel), so it shards
+            # under dp x tp meshes too. CPU/tests: XLA chunk.
+            mode = "chunk_pallas" if jax.default_backend() == "tpu" else "chunk"
+
         # In the shared-conv variant the reference rebinds hidden_states to the
         # conv output before gate/g projections (gla.py:150); mirror that.
         h = x
-        if self.use_short_conv:
+        fuse_conv = (
+            mode == "chunk_pallas"
+            and self.use_short_conv
+            and not self.share_conv_kernel
+            and self._chunk_conv_fusable()
+        )
+        if fuse_conv:
+            # pre-conv projections: the short convs run inside the kernel
+            q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
+        elif self.use_short_conv:
             if self.share_conv_kernel:
                 h = self.h_conv1d(x)
                 q, k, v = self.q_proj(h), self.k_proj(h), self.v_proj(h)
@@ -290,16 +309,18 @@ class GatedLinearAttention(nn.Module):
         gh = self._split_heads(gk, self.head_qk_dim)
 
         s0 = initial_state.s if initial_state is not None else None
-        if mode == "auto":
-            mode = self.kernel_mode
-        if mode == "auto":
-            # TPU: the Pallas kernel wins fwd+bwd (3.15 vs 5.12 ms at
-            # B8 H4 T512 on v5e) and serves prefill/tuning too (returns the
-            # final state, differentiable w.r.t. s0). It carries a
-            # custom-partitioning rule (batch/head-parallel), so it shards
-            # under dp x tp meshes too. CPU/tests: XLA chunk.
-            mode = "chunk_pallas" if jax.default_backend() == "tpu" else "chunk"
-        if mode == "chunk_pallas":
+        if fuse_conv:
+            from lina_speech_tpu.ops.gla_pallas import gla_chunk_conv_pallas
+
+            o, s_final = gla_chunk_conv_pallas(
+                qh, kh, vh, gh,
+                self.q_conv1d.kernel.astype(self.dtype),
+                self.k_conv1d.kernel.astype(self.dtype),
+                self.v_conv1d.kernel.astype(self.dtype),
+                initial_state=s0,
+                chunk_size=max(self.chunk_size, 128),
+            )
+        elif mode == "chunk_pallas":
             from lina_speech_tpu.ops.gla_pallas import gla_chunk_pallas
 
             o, s_final = gla_chunk_pallas(
@@ -429,6 +450,16 @@ class GatedLinearAttention(nn.Module):
         from lina_speech_tpu.ops.gla_pallas import _BH_BLK
 
         return (_BH_BLK % self.num_heads == 0
+                and self.q_conv1d.bias is None
+                and self.k_conv1d.bias is None
+                and self.v_conv1d.bias is None)
+
+    def _chunk_conv_fusable(self) -> bool:
+        """Whether the training/prefill path can run the conv-fused chunk
+        kernel (silu, no bias, width within the kernel's halo)."""
+        from lina_speech_tpu.ops.gla_pallas import _HALO
+
+        return (self.conv_size <= _HALO
                 and self.q_conv1d.bias is None
                 and self.k_conv1d.bias is None
                 and self.v_conv1d.bias is None)

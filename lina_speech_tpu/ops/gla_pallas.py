@@ -102,35 +102,24 @@ def _level_factors(bcum: Array, row1: Array, w: int, q_cum: Array = None):
     return qe, ke
 
 
-def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
-            *, chunk_size: int, scale: float, out_dtype):
-    c = pl.program_id(1)
-    nc = pl.num_programs(1)
+def _fwd_math(u, k, v, g, state, *, chunk_size: int, cdt):
+    """Pure per-chunk forward math on VMEM values.
+
+    u: (C, dk) f32 pre-scaled query; k: (C, dk) f32; v: (C, dv) cdt;
+    g: (C, dk) f32 log-gates; state: (dk, dv) f32 chunk-start state.
+    Returns (o (C, dv) f32, new_state (dk, dv) f32).
+    """
     C = chunk_size
-
-    @pl.when(c == 0)
-    def _():
-        state[:] = s0_ref[0].astype(jnp.float32)
-
-    # chunk-start state, saved as a backward residual
-    cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
-
     row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
     row1 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     tril_inc = (row >= col).astype(jnp.float32)
 
-    g = g_ref[0].astype(jnp.float32)  # (C, dk)
     bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
     btot = bcum[C - 1 : C, :]  # (1, dk)
 
-    cdt = q_ref.dtype  # matmul operand dtype (model dtype; f32 in tests)
-    u = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(cdt)
-
     # ---- inter: decayed query against the carried chunk-start state
-    o = jnp.dot((u * jnp.exp(bcum)).astype(cdt), state[:].astype(cdt),
+    o = jnp.dot((u * jnp.exp(bcum)).astype(cdt), state.astype(cdt),
                 preferred_element_type=jnp.float32)
 
     # ---- intra A: dyadic levels (MXU) ...
@@ -153,13 +142,38 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
         A += jnp.where(m_j, a_j, 0.0)
 
     o = o + jnp.dot(A.astype(cdt), v, preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(out_dtype)
 
     # ---- state update: S = exp(btot) * S + (k decayed-to-end)^T v
     kd = (k * jnp.exp(btot - bcum)).astype(cdt)
-    state[:] = state[:] * jnp.exp(btot)[0][:, None] + jax.lax.dot_general(
+    new_state = state * jnp.exp(btot)[0][:, None] + jax.lax.dot_general(
         kd, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    return o, new_state
+
+
+def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
+            *, chunk_size: int, scale: float, out_dtype):
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        state[:] = s0_ref[0].astype(jnp.float32)
+
+    # chunk-start state, saved as a backward residual
+    cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
+
+    cdt = q_ref.dtype  # matmul operand dtype (model dtype; f32 in tests)
+    o, new_state = _fwd_math(
+        q_ref[0].astype(jnp.float32) * scale,
+        k_ref[0].astype(jnp.float32),
+        v_ref[0].astype(cdt),
+        g_ref[0].astype(jnp.float32),
+        state[:],
+        chunk_size=chunk_size, cdt=cdt,
+    )
+    o_ref[0] = o.astype(out_dtype)
+    state[:] = new_state
 
     @pl.when(c == nc - 1)
     def _():
@@ -189,32 +203,53 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
     """
     rc = pl.program_id(1)
     nc = pl.num_programs(1)
-    C = chunk_size
 
     @pl.when(rc == 0)
     def _():
         dstate[:] = dsf_ref[0].astype(jnp.float32)
 
+    cdt = q_ref.dtype
+    dq, dk_out, dv, dg, new_dstate = _bwd_math(
+        q_ref[0].astype(jnp.float32) * scale,
+        k_ref[0].astype(jnp.float32),
+        v_ref[0].astype(jnp.float32),
+        g_ref[0].astype(jnp.float32),
+        cs_ref[0, 0].astype(jnp.float32),
+        do_ref[0].astype(jnp.float32),
+        dstate[:],
+        chunk_size=chunk_size, scale=scale, cdt=cdt,
+    )
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk_out.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dg_ref[0] = dg.astype(dg_ref.dtype)
+    dstate[:] = new_dstate
+
+    @pl.when(rc == nc - 1)
+    def _():
+        ds0_ref[0] = dstate[:]
+
+
+def _bwd_math(u, k, v, g, s_in, do, dS, *, chunk_size: int, scale: float, cdt):
+    """Pure per-chunk backward math on VMEM values (see ``_bwd_kernel`` doc).
+
+    u: (C, dk) f32 pre-scaled query; dS: (dk, dv) f32 cotangent of the
+    chunk-END state. Returns (dq, dk, dv, dg, d(chunk-start state)); dq/dk
+    are cotangents w.r.t. the UNSCALED q and k.
+    """
+    C = chunk_size
     row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
     row1 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     tril_inc = (row >= col).astype(jnp.float32)
     triu_inc = (row <= col).astype(jnp.float32)
 
-    g = g_ref[0].astype(jnp.float32)
     bcum = jnp.dot(tril_inc, g, preferred_element_type=jnp.float32)
     btot = bcum[C - 1 : C, :]
     lam = jnp.exp(bcum)
     dec_end = jnp.exp(btot - bcum)
-
-    cdt = q_ref.dtype
-    u = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
     ktil = k * dec_end
-    s_in = cs_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    dS = dstate[:]
 
     # ---- inter pieces
     M = jax.lax.dot_general(do.astype(cdt), s_in.astype(cdt),
@@ -278,20 +313,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
 
     dg = jnp.dot(triu_inc, db, preferred_element_type=jnp.float32)
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk_out.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-    dg_ref[0] = dg.astype(dg_ref.dtype)
-
-    # carry: cotangent of this chunk's START state
-    dstate[:] = dS * jnp.exp(btot)[0][:, None] + jax.lax.dot_general(
+    # cotangent of this chunk's START state
+    new_dstate = dS * jnp.exp(btot)[0][:, None] + jax.lax.dot_general(
         (u * lam).astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32
     )
-
-    @pl.when(rc == nc - 1)
-    def _():
-        ds0_ref[0] = dstate[:]
+    return dq, dk_out, dv, dg, new_dstate
 
 
 def _pad_inputs(q, k, v, gk, chunk_size):
@@ -590,6 +617,505 @@ def gla_chunk_pallas(
         interpret = jax.default_backend() == "cpu"
     o, sf = _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size,
                               interpret, residual_dtype)
+    return o, sf.astype(state_dtype)
+
+
+# ------------------------------------------------- conv-fused chunk kernel
+# Fuses the q/k/v depthwise short-conv (width w <= 8, silu, no bias —
+# reference gla.py:101-108 ShortConvolution) into the chunked GLA kernel:
+# the conv runs on VMEM blocks instead of a separate HBM pass (read x +
+# write conv(x) per projection = ~67 MB/layer/step at B8 T512 — measured
+# ~14 ms/step across 25 layers before fusion). History across chunk
+# boundaries comes from a tiny "halo" side-tensor (last 8 rows of the
+# previous chunk, 6% of x); the backward carries the next chunk's dz rows
+# in VMEM scratch across the reverse sweep and accumulates tap grads in
+# scratch, reduced over batch outside the partitioned call.
+
+_HALO = 8  # halo rows (>= conv_size - 1), sublane-aligned
+
+
+def _chunk_halo(x2: Array, C: int) -> Array:
+    """(bh, T, d) -> (bh, nc, _HALO, d): rows [cC-8, cC) per chunk (zeros
+    for chunk 0 — causal zero padding)."""
+    bh, T, d = x2.shape
+    padded = jnp.pad(x2, ((0, 0), (_HALO, 0), (0, 0)))[:, :T]
+    return padded.reshape(bh, T // C, C, d)[:, :, :_HALO]
+
+
+def _conv_apply(x, halo, taps, valid, cdt, conv_size):
+    """In-VMEM causal depthwise conv + silu.
+
+    x: (C, d) cdt; halo: (_HALO, d) rows t-8..t-1; taps: (W8, d) f32 with
+    rows [_HALO - conv_size .. _HALO) unused — actually rows [0, conv_size)
+    hold tap 0 (oldest) .. conv_size-1 (current); valid: (C, 1) f32 row
+    mask. Tap-sum f32 -> round to cdt -> silu f32 -> round (the decode
+    kernel's convention, gla_pallas._decode_conv_kernel).
+
+    Returns (y (C, d) cdt, zr (C, d) f32 rounded pre-activation).
+    """
+    C = x.shape[0]
+    W = conv_size
+    xf = x.astype(jnp.float32)
+    hf = halo.astype(jnp.float32)
+    z = jnp.zeros(x.shape, jnp.float32)
+    for i in range(W):
+        j = (W - 1) - i  # shift: y[t] += w_i * x[t - j]
+        xi = _shift_down(xf, j)
+        if j:
+            top = jnp.pad(hf[_HALO - j :], ((0, C - j), (0, 0)))
+            xi = xi + top
+        z = z + taps[i][None, :] * xi
+    zr = z.astype(cdt).astype(jnp.float32)
+    y = (zr * (1.0 / (1.0 + jnp.exp(-zr)))) * valid
+    return y.astype(cdt), zr
+
+
+def _conv_fwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, s0_ref, hq_ref, hk_ref,
+                     hv_ref, wq_ref, wk_ref, wv_ref, o_ref, sf_ref, cs_ref,
+                     state, *, chunk_size: int, scale: float, out_dtype,
+                     conv_size: int, t_valid: int):
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    C = chunk_size
+
+    @pl.when(c == 0)
+    def _():
+        state[:] = s0_ref[0].astype(jnp.float32)
+
+    cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
+
+    cdt = xq_ref.dtype
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    valid = ((c * C + row1) < t_valid).astype(jnp.float32)
+    q, _ = _conv_apply(xq_ref[0], hq_ref[0, 0], wq_ref[0].astype(jnp.float32),
+                       valid, cdt, conv_size)
+    k, _ = _conv_apply(xk_ref[0], hk_ref[0, 0], wk_ref[0].astype(jnp.float32),
+                       valid, cdt, conv_size)
+    v, _ = _conv_apply(xv_ref[0], hv_ref[0, 0], wv_ref[0].astype(jnp.float32),
+                       valid, cdt, conv_size)
+
+    o, new_state = _fwd_math(
+        q.astype(jnp.float32) * scale,
+        k.astype(jnp.float32),
+        v,
+        g_ref[0].astype(jnp.float32),
+        state[:],
+        chunk_size=chunk_size, cdt=cdt,
+    )
+    o_ref[0] = o.astype(out_dtype)
+    state[:] = new_state
+
+    @pl.when(c == nc - 1)
+    def _():
+        sf_ref[0] = state[:]
+
+
+def _conv_bwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, cs_ref, do_ref, dsf_ref,
+                     hq_ref, hk_ref, hv_ref, wq_ref, wk_ref, wv_ref,
+                     dxq_ref, dxk_ref, dxv_ref, dg_ref, ds0_ref,
+                     dwq_ref, dwk_ref, dwv_ref,
+                     dstate, cq_z, ck_z, cv_z, awq, awk, awv,
+                     *, chunk_size: int, scale: float, conv_size: int,
+                     t_valid: int):
+    """Reverse sweep with in-kernel conv recompute + conv backward.
+
+    ``c*_z`` scratches carry the first _HALO rows of the NEXT (later-time)
+    chunk's dz (processed on the previous grid iteration); ``aw*`` scratches
+    accumulate tap grads across the sweep, written out on the last
+    iteration (reduced over batch outside the partitioned call)."""
+    rc = pl.program_id(1)
+    nc = pl.num_programs(1)
+    C = chunk_size
+    W = conv_size
+    c = nc - 1 - rc
+
+    @pl.when(rc == 0)
+    def _():
+        dstate[:] = dsf_ref[0].astype(jnp.float32)
+        for ref in (cq_z, ck_z, cv_z, awq, awk, awv):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    cdt = xq_ref.dtype
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    valid = ((c * C + row1) < t_valid).astype(jnp.float32)
+    q, zq = _conv_apply(xq_ref[0], hq_ref[0, 0], wq_ref[0].astype(jnp.float32),
+                        valid, cdt, conv_size)
+    k, zk = _conv_apply(xk_ref[0], hk_ref[0, 0], wk_ref[0].astype(jnp.float32),
+                        valid, cdt, conv_size)
+    v, zv = _conv_apply(xv_ref[0], hv_ref[0, 0], wv_ref[0].astype(jnp.float32),
+                        valid, cdt, conv_size)
+
+    dq, dk_out, dv, dg, new_dstate = _bwd_math(
+        q.astype(jnp.float32) * scale,
+        k.astype(jnp.float32),
+        v.astype(jnp.float32),
+        g_ref[0].astype(jnp.float32),
+        cs_ref[0, 0].astype(jnp.float32),
+        do_ref[0].astype(jnp.float32),
+        dstate[:],
+        chunk_size=chunk_size, scale=scale, cdt=cdt,
+    )
+    dg_ref[0] = dg.astype(dg_ref.dtype)
+    dstate[:] = new_dstate
+
+    def conv_bwd(dy, z, x_ref, h_ref, w_ref, carry, accum, dx_ref):
+        sig = 1.0 / (1.0 + jnp.exp(-z))
+        dz = dy * (sig * (1.0 + z * (1.0 - sig))) * valid
+        taps = w_ref[0].astype(jnp.float32)
+        carry_rows = carry[:].astype(jnp.float32)
+        # dx[s] = sum_j w_{(W-1)-j} * dz[s + j] (transposed conv; rows past
+        # the chunk end come from the carried next-chunk dz)
+        dx = jnp.zeros_like(dz)
+        xf = x_ref[0].astype(jnp.float32)
+        hf = h_ref[0, 0].astype(jnp.float32)
+        upd = jnp.zeros_like(accum[:])
+        for j in range(W):
+            dzj = _shift_up(dz, j)
+            if j:
+                bottom = jnp.pad(carry_rows[:j], ((C - j, 0), (0, 0)))
+                dzj = dzj + bottom
+            dx = dx + taps[(W - 1) - j][None, :] * dzj
+            # tap grad i = (W-1) - j: sum_t dz[t] * x[t - j]
+            xi = _shift_down(xf, j)
+            if j:
+                top = jnp.pad(hf[_HALO - j :], ((0, C - j), (0, 0)))
+                xi = xi + top
+            r = jnp.sum(dz * xi, axis=0, keepdims=True)  # (1, d)
+            i = (W - 1) - j
+            upd = upd + jnp.pad(r, ((i, accum.shape[0] - 1 - i), (0, 0)))
+        accum[:] = accum[:] + upd
+        carry[:] = dz[:_HALO].astype(carry.dtype)
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    conv_bwd(dq, zq, xq_ref, hq_ref, wq_ref, cq_z, awq, dxq_ref)
+    conv_bwd(dk_out, zk, xk_ref, hk_ref, wk_ref, ck_z, awk, dxk_ref)
+    conv_bwd(dv, zv, xv_ref, hv_ref, wv_ref, cv_z, awv, dxv_ref)
+
+    @pl.when(rc == nc - 1)
+    def _():
+        ds0_ref[0] = dstate[:]
+        dwq_ref[0] = awq[:]
+        dwk_ref[0] = awk[:]
+        dwv_ref[0] = awv[:]
+
+
+def _conv_fwd_impl(xq, xk, xv, gk, s0, wq, wk, wv, scale, chunk_size,
+                   interpret, residual_dtype=jnp.bfloat16, t_valid=None):
+    b, h, t, dk = xq.shape
+    dv = xv.shape[-1]
+    C = chunk_size
+    W = wq.shape[-1]
+    if t_valid is None:
+        t_valid = t
+    xq, xk, xv, gk = _pad_inputs(xq, xk, xv, gk, C)
+    T = xq.shape[2]
+    nc = T // C
+    bh = b * h
+
+    rs = lambda x, d: x.reshape(bh, T, d)
+    q2, k2, v2, g2 = rs(xq, dk), rs(xk, dk), rs(xv, dv), rs(gk, dk)
+    s0r = s0.reshape(bh, dk, dv).astype(jnp.float32)
+    hq, hk, hv = _chunk_halo(q2, C), _chunk_halo(k2, C), _chunk_halo(v2, C)
+    # taps (h, dh, W) -> per-(b,h) (bh, W, dh), tap row 0 = oldest
+    tb = lambda w, d: jnp.broadcast_to(
+        w.transpose(2, 0, 1)[None], (b, W, h, d)
+    ).transpose(0, 2, 1, 3).reshape(bh, W, d)
+    wqb, wkb, wvb = tb(wq, dk), tb(wk, dk), tb(wv, dv)
+
+    kern = functools.partial(
+        _conv_fwd_kernel, chunk_size=C, scale=scale, out_dtype=xq.dtype,
+        conv_size=W, t_valid=t_valid,
+    )
+    o, sf, chunk_states = pl.pallas_call(
+        kern,
+        grid=(bh, nc),
+        in_specs=[
+            pl.BlockSpec((1, C, dk), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, C, dk), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, C, dk), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _HALO, dk), lambda i, c: (i, c, 0, 0)),
+            pl.BlockSpec((1, 1, _HALO, dk), lambda i, c: (i, c, 0, 0)),
+            pl.BlockSpec((1, 1, _HALO, dv), lambda i, c: (i, c, 0, 0)),
+            pl.BlockSpec((1, W, dk), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, W, dk), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, W, dv), lambda i, c: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, dk, dv), lambda i, c: (i, c, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, T, dv), xq.dtype),
+            jax.ShapeDtypeStruct((bh, dk, dv), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nc, dk, dv), residual_dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((dk, dv), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q2, k2, v2, g2, s0r, hq, hk, hv, wqb, wkb, wvb)
+
+    o = o.reshape(b, h, T, dv)[:, :, :t]
+    return (o, sf.reshape(b, h, dk, dv),
+            chunk_states.reshape(b, h, nc, dk, dv))
+
+
+def _conv_bwd_impl(xq, xk, xv, gk, wq, wk, wv, chunk_states, do, dsf, scale,
+                   chunk_size, interpret, t_valid=None):
+    b, h, t, dk = xq.shape
+    dv = xv.shape[-1]
+    C = chunk_size
+    W = wq.shape[-1]
+    if t_valid is None:
+        t_valid = t
+    xq, xk, xv, gk = _pad_inputs(xq, xk, xv, gk, C)
+    do = jnp.pad(do, ((0, 0), (0, 0), (0, xq.shape[2] - t), (0, 0)))
+    T = xq.shape[2]
+    nc = T // C
+    bh = b * h
+
+    rs = lambda x, d: x.reshape(bh, T, d)
+    q2, k2, v2, g2, do2 = (rs(xq, dk), rs(xk, dk), rs(xv, dv), rs(gk, dk),
+                           rs(do, dv))
+    dsf2 = dsf.reshape(bh, dk, dv).astype(jnp.float32)
+    chunk_states = chunk_states.reshape(bh, nc, dk, dv)
+    hq, hk, hv = _chunk_halo(q2, C), _chunk_halo(k2, C), _chunk_halo(v2, C)
+    tb = lambda w, d: jnp.broadcast_to(
+        w.transpose(2, 0, 1)[None], (b, W, h, d)
+    ).transpose(0, 2, 1, 3).reshape(bh, W, d)
+    wqb, wkb, wvb = tb(wq, dk), tb(wk, dk), tb(wv, dv)
+
+    kern = functools.partial(_conv_bwd_kernel, chunk_size=C, scale=scale,
+                             conv_size=W, t_valid=t_valid)
+    rev = lambda i, c: (i, nc - 1 - c, 0)
+    rev4 = lambda i, c: (i, nc - 1 - c, 0, 0)
+    fixed3 = lambda i, c: (i, 0, 0)
+    dxq, dxk, dxv, dg, ds0, dwq_b, dwk_b, dwv_b = pl.pallas_call(
+        kern,
+        grid=(bh, nc),
+        in_specs=[
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, C, dv), rev),
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, 1, dk, dv), rev4),
+            pl.BlockSpec((1, C, dv), rev),
+            pl.BlockSpec((1, dk, dv), fixed3),
+            pl.BlockSpec((1, 1, _HALO, dk), rev4),
+            pl.BlockSpec((1, 1, _HALO, dk), rev4),
+            pl.BlockSpec((1, 1, _HALO, dv), rev4),
+            pl.BlockSpec((1, W, dk), fixed3),
+            pl.BlockSpec((1, W, dk), fixed3),
+            pl.BlockSpec((1, W, dv), fixed3),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, C, dv), rev),
+            pl.BlockSpec((1, C, dk), rev),
+            pl.BlockSpec((1, dk, dv), fixed3),
+            pl.BlockSpec((1, _HALO, dk), fixed3),
+            pl.BlockSpec((1, _HALO, dk), fixed3),
+            pl.BlockSpec((1, _HALO, dv), fixed3),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, T, dk), xq.dtype),
+            jax.ShapeDtypeStruct((bh, T, dk), xk.dtype),
+            jax.ShapeDtypeStruct((bh, T, dv), xv.dtype),
+            jax.ShapeDtypeStruct((bh, T, dk), gk.dtype),
+            jax.ShapeDtypeStruct((bh, dk, dv), jnp.float32),
+            jax.ShapeDtypeStruct((bh, _HALO, dk), jnp.float32),
+            jax.ShapeDtypeStruct((bh, _HALO, dk), jnp.float32),
+            jax.ShapeDtypeStruct((bh, _HALO, dv), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dk, dv), jnp.float32),
+            pltpu.VMEM((_HALO, dk), jnp.float32),
+            pltpu.VMEM((_HALO, dk), jnp.float32),
+            pltpu.VMEM((_HALO, dv), jnp.float32),
+            pltpu.VMEM((_HALO, dk), jnp.float32),
+            pltpu.VMEM((_HALO, dk), jnp.float32),
+            pltpu.VMEM((_HALO, dv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q2, k2, v2, g2, chunk_states, do2, dsf2, hq, hk, hv, wqb, wkb, wvb)
+
+    unp = lambda x, d: x.reshape(b, h, T, d)[:, :, :t]
+    # per-(b,h) tap grads; batch reduction happens OUTSIDE the partitioned
+    # call so the partitioner inserts the dp psum
+    dw = lambda x, d: x.reshape(b, h, _HALO, d)[:, :, :W]
+    return (unp(dxq, dk), unp(dxk, dk), unp(dxv, dv), unp(dg, dk),
+            ds0.reshape(b, h, dk, dv), dw(dwq_b, dk), dw(dwk_b, dk),
+            dw(dwv_b, dv))
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
+                          t_valid):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(xq, xk, xv, gk, s0, wq, wk, wv):
+        return _conv_fwd_impl(xq, xk, xv, gk, s0, wq, wk, wv, scale,
+                              chunk_size, interpret, residual_dtype, t_valid)
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, ha, None, None), mk(ba, ha, None, None),
+                mk(ba, ha, None, None, None))
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = ((mk(ba, ha, None, None),) * 5
+                + (mk(ha, None, None),) * 3)
+        outs = (mk(ba, ha, None, None), mk(ba, ha, None, None),
+                mk(ba, ha, None, None, None))
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h t k, b h t k, b h t v, b h t k, b h k v, "
+                      "h k w, h k w, h v w "
+                      "-> b h t v, b h k v, b h c k v",
+        # factor order = first occurrence: t k v w (taps) then c (output)
+        need_replication_factors=("t", "k", "v", "w", "c"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_bwd_partitioned(scale, chunk_size, interpret, t_valid):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(xq, xk, xv, gk, wq, wk, wv, chunk_states, do, dsf):
+        return _conv_bwd_impl(xq, xk, xv, gk, wq, wk, wv, chunk_states, do,
+                              dsf, scale, chunk_size, interpret, t_valid)
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return ((mk(ba, ha, None, None),) * 4 + (mk(ba, ha, None, None),)
+                + (mk(ba, ha, None, None),) * 3)
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = ((mk(ba, ha, None, None),) * 4
+                + (mk(ha, None, None),) * 3
+                + (mk(ba, ha, None, None, None),)
+                + (mk(ba, ha, None, None),) * 2)
+        outs = ((mk(ba, ha, None, None),) * 4 + (mk(ba, ha, None, None),)
+                + (mk(ba, ha, None, None),) * 3)
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h t k, b h t k, b h t v, b h t k, "
+                      "h k w, h k w, h v w, b h c k v, b h t v, b h k v "
+                      "-> b h t k, b h t k, b h t v, b h t k, b h k v, "
+                      "b h w k, b h w k, b h w v",
+        need_replication_factors=("t", "k", "v", "w", "c"),
+    )
+    return cp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _gla_chunk_conv_pallas(xq, xk, xv, gk, wq, wk, wv, s0, scale, chunk_size,
+                           interpret, residual_dtype, t_valid):
+    o, sf, _ = _conv_fwd_partitioned(
+        scale, chunk_size, interpret, residual_dtype, t_valid
+    )(xq, xk, xv, gk, s0, wq, wk, wv)
+    return o, sf
+
+
+def _conv_vjp_fwd(xq, xk, xv, gk, wq, wk, wv, s0, scale, chunk_size,
+                  interpret, residual_dtype, t_valid):
+    o, sf, chunk_states = _conv_fwd_partitioned(
+        scale, chunk_size, interpret, residual_dtype, t_valid
+    )(xq, xk, xv, gk, s0, wq, wk, wv)
+    return (o, sf), (xq, xk, xv, gk, wq, wk, wv, chunk_states)
+
+
+def _conv_vjp_bwd(scale, chunk_size, interpret, residual_dtype, t_valid,
+                  residuals, cotangents):
+    xq, xk, xv, gk, wq, wk, wv, chunk_states = residuals
+    do, dsf = cotangents
+    dxq, dxk, dxv, dg, ds0, dwq_b, dwk_b, dwv_b = _conv_bwd_partitioned(
+        scale, chunk_size, interpret, t_valid
+    )(xq, xk, xv, gk, wq, wk, wv, chunk_states, do, dsf)
+    # (b, h, W, dh) -> (h, dh, W); the batch sum crosses dp shards, XLA
+    # inserts the psum from the known sharding
+    tosum = lambda x: x.sum(axis=0).transpose(0, 2, 1)
+    return (dxq.astype(xq.dtype), dxk.astype(xk.dtype), dxv.astype(xv.dtype),
+            dg.astype(gk.dtype), tosum(dwq_b).astype(wq.dtype),
+            tosum(dwk_b).astype(wk.dtype), tosum(dwv_b).astype(wv.dtype),
+            ds0)
+
+
+_gla_chunk_conv_pallas.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
+
+
+def gla_chunk_conv_pallas(
+    xq: Array,
+    xk: Array,
+    xv: Array,
+    gk: Array,
+    conv_q_w: Array,
+    conv_k_w: Array,
+    conv_v_w: Array,
+    initial_state: Optional[Array] = None,
+    scale: Optional[float] = None,
+    chunk_size: int = 128,
+    interpret: Optional[bool] = None,
+    residual_dtype=jnp.bfloat16,
+) -> Tuple[Array, Array]:
+    """Chunked GLA with the q/k/v short-convs fused into the kernel.
+
+    xq/xk/xv: PRE-conv head-split projections (b, h, t, dh); conv_*_w:
+    depthwise taps (full_dim, w), tap 0 oldest, silu activation, no bias
+    (reference gla.py:101-108 + causal-conv1d semantics); conv state is
+    zero at t=0 (causal padding). Everything else matches
+    :func:`gla_chunk_pallas`. Differentiable w.r.t. all tensor inputs
+    including the taps.
+    """
+    b, h, t, dk = xq.shape
+    dv = xv.shape[-1]
+    W = conv_q_w.shape[-1]
+    if chunk_size < _MIN_W or (chunk_size & (chunk_size - 1)):
+        raise ValueError(f"chunk_size must be a power of two >= {_MIN_W}, "
+                         f"got {chunk_size}")
+    if W > _HALO:
+        raise ValueError(f"conv width {W} > halo {_HALO}")
+    if scale is None:
+        scale = dk ** -0.5
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
+    if initial_state is None:
+        initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    hs = lambda w, d: w.reshape(h, d, W)  # (full, W) -> (h, dh, W)
+    o, sf = _gla_chunk_conv_pallas(
+        xq, xk, xv, gk, hs(conv_q_w, dk), hs(conv_k_w, dk), hs(conv_v_w, dv),
+        initial_state, scale, chunk_size, interpret, residual_dtype, t,
+    )
     return o, sf.astype(state_dtype)
 
 

@@ -240,3 +240,127 @@ def test_fused_decode_shards_over_batch_and_heads():
     assert "all-gather" not in txt
     # the new state comes back still sharded over the mesh
     assert s_s.sharding.is_equivalent_to(sh4, 4)
+
+
+# ------------------------- conv-fused chunk kernel -------------------------
+
+def _conv_chunk_inputs(key, b=2, h=2, t=40, dk=16, dv=32, w=4,
+                       dtype=jnp.float32):
+    ks = jax.random.split(key, 8)
+    n = lambda i, *shape: jax.random.normal(ks[i], shape, dtype)
+    xq, xk = n(0, b, h, t, dk), n(1, b, h, t, dk)
+    xv = n(2, b, h, t, dv)
+    gk = (jax.nn.log_sigmoid(jax.random.normal(ks[3], (b, h, t, dk))) / 16.0
+          ).astype(dtype)
+    wq = (n(4, h * dk, w) * 0.5).astype(jnp.float32)
+    wk = (n(5, h * dk, w) * 0.5).astype(jnp.float32)
+    wv = (n(6, h * dv, w) * 0.5).astype(jnp.float32)
+    s0 = jax.random.normal(ks[7], (b, h, dk, dv)).astype(jnp.float32)
+    return xq, xk, xv, gk, wq, wk, wv, s0
+
+
+def _conv_chunk_ref(xq, xk, xv, gk, wq, wk, wv, s0):
+    """Oracle: unfused causal conv on merged channels + scan-oracle GLA."""
+    from lina_speech_tpu.ops.short_conv import causal_depthwise_conv
+
+    b, h, t, dk = xq.shape
+    dv = xv.shape[-1]
+    mrg = lambda z, d: z.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    spl = lambda z, d: z.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+    q = spl(causal_depthwise_conv(mrg(xq, dk), wq.astype(xq.dtype)), dk)
+    k = spl(causal_depthwise_conv(mrg(xk, dk), wk.astype(xk.dtype)), dk)
+    v = spl(causal_depthwise_conv(mrg(xv, dv), wv.astype(xv.dtype)), dv)
+    return gla_scan_ref(q, k, v, gk, initial_state=s0)
+
+
+@pytest.mark.parametrize("t", [40, 32, 7])
+def test_conv_fused_chunk_matches_unfused(t):
+    from lina_speech_tpu.ops.gla_pallas import gla_chunk_conv_pallas
+
+    args = _conv_chunk_inputs(jax.random.PRNGKey(20), t=t)
+    o_ref, s_ref = _conv_chunk_ref(*args)
+    xq, xk, xv, gk, wq, wk, wv, s0 = args
+    o, s = gla_chunk_conv_pallas(xq, xk, xv, gk, wq, wk, wv,
+                                 initial_state=s0, chunk_size=16,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv_fused_chunk_bf16_io():
+    from lina_speech_tpu.ops.gla_pallas import gla_chunk_conv_pallas
+
+    args = _conv_chunk_inputs(jax.random.PRNGKey(21), t=48, dtype=jnp.bfloat16)
+    o_ref, s_ref = _conv_chunk_ref(*args)
+    xq, xk, xv, gk, wq, wk, wv, s0 = args
+    o, s = gla_chunk_conv_pallas(xq, xk, xv, gk, wq, wk, wv,
+                                 initial_state=s0, chunk_size=16,
+                                 interpret=True)
+    assert o.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(o, np.float32),
+                               np.asarray(o_ref, np.float32),
+                               rtol=0.1, atol=0.1)
+    np.testing.assert_allclose(np.asarray(s, np.float32),
+                               np.asarray(s_ref, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_conv_fused_chunk_grads():
+    """Grads through the fused kernel (incl. the conv taps) vs autodiff of
+    the unfused composition."""
+    from lina_speech_tpu.ops.gla_pallas import gla_chunk_conv_pallas
+
+    args = _conv_chunk_inputs(jax.random.PRNGKey(22), t=40)
+
+    def loss_fused(*a):
+        xq, xk, xv, gk, wq, wk, wv, s0 = a
+        o, s = gla_chunk_conv_pallas(xq, xk, xv, gk, wq, wk, wv,
+                                     initial_state=s0, chunk_size=16,
+                                     interpret=True,
+                                     residual_dtype=jnp.float32)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    def loss_ref(*a):
+        o, s = _conv_chunk_ref(*a)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g_f, g_r):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_conv_fused_chunk_shards_over_batch_and_heads():
+    """dp x tp sharding: per-shard kernel + batch-psum of the tap grads."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from lina_speech_tpu.ops.gla_pallas import gla_chunk_conv_pallas
+
+    args = _conv_chunk_inputs(jax.random.PRNGKey(23), b=4, h=2, t=32)
+
+    def loss(a):
+        xq, xk, xv, gk, wq, wk, wv, s0 = a
+        o, s = gla_chunk_conv_pallas(xq, xk, xv, gk, wq, wk, wv,
+                                     initial_state=s0, chunk_size=16,
+                                     interpret=True,
+                                     residual_dtype=jnp.float32)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss)(args)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    sh4 = NamedSharding(mesh, P("dp", "tp", None, None))
+    h = args[0].shape[1]
+    shw = NamedSharding(mesh, P(None, None))  # (full_dim, w) taps replicate
+    plan = [sh4] * 4 + [shw] * 3 + [sh4]
+    args_s = tuple(jax.device_put(a, s) for a, s in zip(args, plan))
+    f = jax.jit(jax.value_and_grad(loss))
+    l_s, g_s = f(args_s)
+    np.testing.assert_allclose(float(l_s), float(l_ref), rtol=1e-5)
+    for a, b in zip(g_s, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
