@@ -667,7 +667,9 @@ def _conv_apply(x, halo, taps, valid, cdt, conv_size):
         z = z + taps[i][None, :] * xi
     zr = z.astype(cdt).astype(jnp.float32)
     y = (zr * (1.0 / (1.0 + jnp.exp(-zr)))) * valid
-    return y.astype(cdt), zr
+    # y stays f32 — the GLA math rounds matmul operands to cdt itself, so
+    # the extra cdt round-trip here was pure VPU convert traffic
+    return y, zr
 
 
 def _conv_fwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, s0_ref, hq_ref, hk_ref,
@@ -695,9 +697,9 @@ def _conv_fwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, s0_ref, hq_ref, hk_ref,
                        valid, cdt, conv_size)
 
     o, new_state = _fwd_math(
-        q.astype(jnp.float32) * scale,
-        k.astype(jnp.float32),
-        v,
+        q * scale,
+        k,
+        v.astype(cdt),
         g_ref[0].astype(jnp.float32),
         state[:],
         chunk_size=chunk_size, cdt=cdt,
@@ -746,9 +748,9 @@ def _conv_bwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, cs_ref, do_ref, dsf_ref,
                         valid, cdt, conv_size)
 
     dq, dk_out, dv, dg, new_dstate = _bwd_math(
-        q.astype(jnp.float32) * scale,
-        k.astype(jnp.float32),
-        v.astype(jnp.float32),
+        q * scale,
+        k,
+        v,
         g_ref[0].astype(jnp.float32),
         cs_ref[0, 0].astype(jnp.float32),
         do_ref[0].astype(jnp.float32),
