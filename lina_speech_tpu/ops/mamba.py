@@ -29,8 +29,23 @@ def selective_scan(
     D: Array,       # (d,)
     initial_state: Optional[Array] = None,  # (b, d, n)
     reset_mask: Optional[Array] = None,     # (b, t) True -> state wiped BEFORE step
+    mode: str = "auto",  # auto | pallas | scan
 ) -> Tuple[Array, Array]:
-    """Returns (y (b, t, d), final_state (b, d, n) fp32)."""
+    """Returns (y (b, t, d), final_state (b, d, n) fp32).
+
+    ``mode="auto"`` routes to the Pallas sequential-scan kernel on TPU
+    (state resident in VMEM — the associative scan materializes
+    (b, t, d, n) fp32 intermediates, ~0.5 GB at flagship-variant shapes)
+    and the XLA associative scan elsewhere; ``"scan"`` is the explicit
+    XLA escape (same role as the GLA layer's kernel_mode knob)."""
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if mode == "pallas":
+        from lina_speech_tpu.ops.mamba_pallas import mamba_scan_pallas
+
+        return mamba_scan_pallas(x, dt, A, B, C, D,
+                                 initial_state=initial_state,
+                                 reset_mask=reset_mask)
     b, t, d = x.shape
     n = A.shape[-1]
     xf = x.astype(jnp.float32)
