@@ -30,7 +30,7 @@ CODEC_HZ = 75.0
 
 
 def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int,
-                  lazy_window: int = 0):
+                  lazy_window: int = 0, weight_quant=None):
     from lina_speech_tpu.generate import generate_batch
 
     key = jax.random.PRNGKey(0)
@@ -40,6 +40,7 @@ def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int,
         return generate_batch(
             model, params, x, k, max_seqlen=steps, k=100,
             force_max_seqlen=True, lazy_window=lazy_window,
+            weight_quant=weight_quant,
         )
 
     # compile + warmup (checksum forces a host fetch)
@@ -162,6 +163,18 @@ def main():
             # 75 tok/s == 1x single-stream realtime
             "vs_baseline": round(b1_tok_s / CODEC_HZ, 3),
         })
+        if os.environ.get("BENCH_B1_INT8", "1") == "1":
+            # weight-only int8 decode (opt-in quality knob): b1 is
+            # weights-read-bound, int8 streams halve that traffic
+            b1q_tok_s, _ = _bench_decode(model, params, cfg, 1, steps,
+                                         text_len, lazy_window=0,
+                                         weight_quant="int8")
+            extra.append({
+                "metric": "decode_tokens_per_sec_b1_int8",
+                "value": round(b1q_tok_s, 1),
+                "unit": "codec_tokens_per_sec",
+                "vs_baseline": round(b1q_tok_s / CODEC_HZ, 3),
+            })
 
     if do_train:
         # default: grad-accum 4 x B8 microbatches — the optimizer update +

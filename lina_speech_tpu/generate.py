@@ -67,7 +67,7 @@ def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
     static_argnames=(
         "model", "max_seqlen", "k", "first_greedy_quant", "temp",
         "force_max_seqlen", "return_att", "reference_compat_sampling",
-        "approx_topk", "lazy_window",
+        "approx_topk", "lazy_window", "weight_quant",
     ),
 )
 def generate_batch(
@@ -86,6 +86,7 @@ def generate_batch(
     reference_compat_sampling: bool = False,
     approx_topk: bool = True,
     lazy_window: int = 0,
+    weight_quant: Optional[str] = None,
 ) -> GenerateResult:
     """Generate codec tokens for a batch.
 
@@ -98,6 +99,12 @@ def generate_batch(
             the sampled quantizers (exact sort is a measurable per-step
             cost at 4099 logits); greedy (k=1) and reference-compat paths
             are always exact.
+        weight_quant: "int8" stores the large matrices int8 + per-channel
+            scales for the TOKEN LOOP only (prefill / text encoding stay
+            full precision); dequant is traced inside the loop so XLA
+            streams int8 from HBM — b1 decode is weights-read-bound, so
+            this raises its bandwidth roofline ~2x. Opt-in quality knob
+            (utils/quantize.py).
         lazy_window: > 0 enables lazy micro-chunk decode with that window
             size L (GLA backbones only): recurrent states become READ-ONLY
             between folds, token contributions ride small (L, ...) buffers,
@@ -125,6 +132,20 @@ def generate_batch(
             if (hasattr(p, "dtype") and p.dtype == jnp.float32) else p,
             params,
         )
+
+    if weight_quant == "int8":
+        from lina_speech_tpu.utils.quantize import (
+            dequantize_params, quantize_params,
+        )
+
+        params_q = quantize_params(params)
+        # invoked inside the traced loop body: the dequant stays in-loop
+        # (not hoisted/materialized — measured, scripts/probe_int8_gemv.py)
+        loop_params = lambda: dequantize_params(params_q, cdt)
+    elif weight_quant is not None:
+        raise ValueError(f"unknown weight_quant {weight_quant!r}")
+    else:
+        loop_params = lambda: params
 
     embed = lambda toks: model.apply(params, toks, method=LinaModel.embed_tokens)
     y_start = jnp.ones((nq, b, 1), jnp.int32)
@@ -211,8 +232,9 @@ def generate_batch(
         return jnp.logical_and(c.t < max_seqlen, ~jnp.all(c.stopped))
 
     def token_step(c: Carry, lazy_p=None) -> Carry:
+        lp = loop_params()
         logits, att, state = model.apply(
-            params, c.y_embd, x_enc, c.state, time_step=c.t, lazy_p=lazy_p,
+            lp, c.y_embd, x_enc, c.state, time_step=c.t, lazy_p=lazy_p,
             method=LinaModel.decode_step,
         )
         key, sub = jax.random.split(c.key)
@@ -224,7 +246,8 @@ def generate_batch(
         att_b = c.att
         if return_att:
             att_b = jax.lax.dynamic_update_index_in_dim(c.att, att, c.t, axis=0)
-        y_embd = embed(toks.T[:, :, None])[:, 0]
+        y_embd = model.apply(lp, toks.T[:, :, None],
+                             method=LinaModel.embed_tokens)[:, 0]
         return Carry(c.t + 1, y_embd, state, tokens, stops, att_b,
                      c.stopped | is_stop, key)
 

@@ -1,0 +1,82 @@
+"""Weight-only int8 quantization for the decode loop.
+
+Batch-1 decode is weights-read-bound (BASELINE.md: 718 MB/token bf16 =
+0.88 ms at the v5e's ~819 GB/s). Storing the large matrices as int8 +
+per-output-channel scales halves the weight traffic; the dequant happens
+INSIDE the token loop where XLA fuses it into the GEMV loads (measured:
+a 25-layer decode-shaped GEMV chain runs 1.45x faster with in-loop int8
+dequant — scripts/probe_int8_gemv.py). Quality knob, opt-in: pass
+``weight_quant="int8"`` to :func:`lina_speech_tpu.generate.generate_batch`
+(prefill and text encoding always run at full precision).
+
+Scheme: symmetric int8, scale per output channel — for (in, out) Dense
+kernels the scale reduces over the contraction axis 0; for ndim>=3 leaves
+(per-quantizer logits head (q, l, d), stacked embeddings (q, n, d)) it
+reduces over the last axis. Scales keep broadcast shape so dequant is
+uniformly ``q * s``.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+
+QKEY = "int8_q"
+SKEY = "int8_s"
+
+
+def _quantize_leaf(w):
+    wf = w.astype(jnp.float32)
+    axes = (0,) if w.ndim == 2 else (w.ndim - 1,)
+    s = jnp.max(jnp.abs(wf), axis=axes, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return {QKEY: q, SKEY: s}
+
+
+def quantize_params(params, min_size: int = 1 << 16) -> Any:
+    """Replace every float leaf with ndim >= 2 and >= ``min_size`` elements
+    by an {int8_q, int8_s} pair; everything else passes through (norms,
+    biases, conv taps, low-rank gate projections stay full precision)."""
+
+    def walk(node):
+        if isinstance(node, Mapping):
+            return {k: walk(v) for k, v in node.items()}
+        if (hasattr(node, "ndim") and node.ndim >= 2
+                and jnp.issubdtype(node.dtype, jnp.floating)
+                and node.size >= min_size):
+            return _quantize_leaf(node)
+        return node
+
+    return walk(params)
+
+
+def dequantize_params(tree, dtype) -> Any:
+    """Rebuild a params tree usable by ``model.apply``: int8 pairs become
+    ``q.astype(dtype) * s`` (when traced inside a decode loop, XLA streams
+    the int8 representation from HBM)."""
+
+    def walk(node):
+        if isinstance(node, Mapping):
+            if QKEY in node:
+                return node[QKEY].astype(dtype) * node[SKEY].astype(dtype)
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(tree)
+
+
+def quantized_bytes(tree) -> int:
+    """Total stored bytes of a (possibly partially) quantized tree."""
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        if isinstance(node, Mapping):
+            for v in node.values():
+                walk(v)
+        elif hasattr(node, "dtype"):
+            total += node.size * node.dtype.itemsize
+
+    walk(tree)
+    return total

@@ -1,0 +1,68 @@
+"""Weight-only int8 quantization: roundtrip bounds + quantized decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lina_speech_tpu.utils.quantize import (
+    QKEY, dequantize_params, quantize_params, quantized_bytes,
+)
+
+
+def test_roundtrip_error_bounded():
+    w = jax.random.normal(jax.random.PRNGKey(0), (300, 400)) * 0.07
+    q = quantize_params({"k": {"kernel": w}}, min_size=1)
+    wd = dequantize_params(q, jnp.float32)["k"]["kernel"]
+    # symmetric rounding: |err| <= scale / 2 per output channel
+    s = np.asarray(q["k"]["kernel"]["int8_s"])
+    err = np.abs(np.asarray(wd) - np.asarray(w))
+    assert (err <= s / 2 + 1e-7).all()
+
+
+def test_small_and_1d_leaves_pass_through():
+    tree = {
+        "scale": jnp.ones((64,)),
+        "taps": jnp.ones((64, 4)),
+        "big": jnp.ones((512, 512)),
+        "ints": jnp.ones((512, 512), jnp.int32),
+    }
+    q = quantize_params(tree)
+    assert isinstance(q["big"], dict) and QKEY in q["big"]
+    assert not isinstance(q["scale"], dict)
+    assert not isinstance(q["taps"], dict)
+    assert not isinstance(q["ints"], dict)
+    assert quantized_bytes(q) < quantized_bytes(tree)
+
+
+def test_quantized_decode_runs_and_tracks_fp():
+    """generate_batch(weight_quant='int8') on the tiny model: runs, valid
+    outputs, and greedy tokens mostly agree with the fp path."""
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+    from lina_speech_tpu.generate import generate_batch
+
+    cfg = lina_gla_tiny()
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 3, cfg.n_txt_vocab)
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        jax.random.PRNGKey(2), x, y, jnp.ones((2, 10, 10), bool),
+        jnp.ones((2, 8, 10), bool), jnp.ones((2, 8), bool),
+    )
+    kw = dict(max_seqlen=24, k=1, force_max_seqlen=True)
+    ref = generate_batch(model, params, x, jax.random.PRNGKey(3), **kw)
+    # quantize at a low threshold so the tiny model's matrices qualify
+    from lina_speech_tpu.utils import quantize as qz
+    orig = qz.quantize_params
+    qz_small = lambda p, min_size=1 << 16: orig(p, min_size=1 << 8)
+    qz.quantize_params = qz_small
+    try:
+        out = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                             weight_quant="int8", **kw)
+    finally:
+        qz.quantize_params = orig
+    toks_ref = np.asarray(ref.tokens)
+    toks_q = np.asarray(out.tokens)
+    assert toks_q.shape == toks_ref.shape
+    assert (toks_q >= 0).all()
+    agreement = (toks_q == toks_ref).mean()
+    assert agreement > 0.7, f"greedy agreement {agreement:.2f}"
