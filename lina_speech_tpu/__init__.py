@@ -32,4 +32,8 @@ def __getattr__(name):
         from lina_speech_tpu.pipeline import TTSPipeline
 
         return TTSPipeline
+    if name == "DecodeServer":
+        from lina_speech_tpu.serving import DecodeServer
+
+        return DecodeServer
     raise AttributeError(name)

@@ -112,7 +112,12 @@ class CrossAttention(nn.Module):
         qh, kh, vh = split(q), split(kk), split(vv)
         if self.rotary:
             rot = d_head // 2
-            offset = 0 if time_step is None else time_step
+            offset = 0 if time_step is None else jnp.asarray(time_step)
+            if getattr(offset, "ndim", 0) == 1:
+                # per-batch decode offsets (slot-based serving: each slot
+                # sits at its own position) -> (b, 1, 1) broadcasts over
+                # (b, h, n, rot)
+                offset = offset[:, None, None]
             qh = apply_rotary(qh, jnp.arange(n) + offset, rot)
             kh = apply_rotary(kh, jnp.arange(m), rot)
         if mask is not None and mask.ndim == 3:
@@ -161,7 +166,9 @@ class BlindCrossAttention(nn.Module):
             # single head -> rotate the first att_dim/2 channels
             # (crossatt.py:102,129-134; time_step offsets the query)
             rot = self.att_dim // 2
-            off = 0 if time_step is None else time_step
+            off = 0 if time_step is None else jnp.asarray(time_step)
+            if getattr(off, "ndim", 0) == 1:
+                off = off[:, None]  # per-batch decode offsets -> (b, 1)
             qq = apply_rotary(qq, jnp.arange(qq.shape[1]) + off, rot)
             kk = apply_rotary(kk, jnp.arange(kk.shape[1]), rot)
         return qq[:, None], kk[:, None], vv[:, None]  # single head: (b, 1, n, d)

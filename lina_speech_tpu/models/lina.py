@@ -150,15 +150,19 @@ class LinaModel(nn.Module):
         crossatt_pos: Optional[Array] = None,
         time_step: Optional[Array] = None,
         lazy_p: Optional[Array] = None,
+        crossatt_mask: Optional[Array] = None,
     ):
         """One AR token: backbone step + per-quantizer logits.
 
         y_embd: (b, d) -> (logits (b, q, l), att, new_state). ``lazy_p``
         selects the lazy micro-chunk decode path (read-only recurrent
         states + window buffers; see generate.py lazy_window).
+        ``crossatt_mask`` (b, 1, m) hides padded text positions (slot-based
+        serving mixes different text lengths in one batch).
         """
         y, att, state = self.attentive_rnn.step(
-            y_embd, x_enc, state, crossatt_pos=crossatt_pos,
+            y_embd, x_enc, state, mask=crossatt_mask,
+            crossatt_pos=crossatt_pos,
             time_step=time_step, lazy_p=lazy_p,
         )
         logits = self._head(y[:, None])[:, 0]  # (b, q, l)
@@ -171,6 +175,7 @@ class LinaModel(nn.Module):
         state: Optional[BackboneState] = None,
         crossatt_pos: Optional[Array] = None,
         return_att: bool = False,
+        crossatt_mask: Optional[Array] = None,
     ):
         """Chunk-parallel prefill of (b, t, d) forced embeddings.
 
@@ -179,7 +184,8 @@ class LinaModel(nn.Module):
         state ready for AR continuation.
         """
         y_hat, att, final_state = self.attentive_rnn(
-            y_embd, x_enc, init_state=state, crossatt_pos=crossatt_pos,
+            y_embd, x_enc, mask=crossatt_mask, init_state=state,
+            crossatt_pos=crossatt_pos,
             return_att=return_att, output_final_state=True,
         )
         return self._head(y_hat), att, final_state

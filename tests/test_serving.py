@@ -1,0 +1,67 @@
+"""Continuous-batching decode server: greedy outputs must match
+generate_batch run individually per request; slots must recycle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lina_speech_tpu.config import build_model, lina_gla_tiny
+from lina_speech_tpu.generate import generate_batch
+from lina_speech_tpu.serving import DecodeServer
+
+
+def _setup():
+    cfg = lina_gla_tiny()
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (1, 10), 3, cfg.n_txt_vocab)
+    y = jax.random.randint(jax.random.PRNGKey(1), (1, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        jax.random.PRNGKey(2), x, y, jnp.ones((1, 10, 10), bool),
+        jnp.ones((1, 8, 10), bool), jnp.ones((1, 8), bool),
+    )
+    return cfg, model, params
+
+
+def test_server_matches_individual_generate():
+    cfg, model, params = _setup()
+    texts = [
+        np.asarray([5, 9, 3, 17, 8]),
+        np.asarray([12, 4, 33, 7, 19, 21, 6]),
+        np.asarray([40, 41]),
+        np.asarray([3, 18, 27, 9]),
+        np.asarray([25, 26, 27, 28, 29, 30]),
+    ]
+    max_len = 20
+
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4)
+    rids = [srv.submit(t, max_len=max_len) for t in texts]
+    done = {c.rid: c for c in srv.run()}
+    assert set(done) == set(rids)
+
+    for rid, text in zip(rids, texts):
+        ref = generate_batch(
+            model, params, jnp.asarray(text)[None], jax.random.PRNGKey(9),
+            max_seqlen=max_len, k=1, force_max_seqlen=True,
+        )
+        ref_toks = np.asarray(ref.tokens)[:, 0, :].T  # (max_len, q)
+        c = done[rid]
+        # greedy: server tokens must match the individual run exactly up
+        # to the completion length
+        np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
+        ref_len = int(np.asarray(ref.lengths)[0])
+        if c.stopped:
+            assert c.length == ref_len
+        else:
+            assert c.length == max_len
+
+
+def test_slots_recycle_under_load():
+    cfg, model, params = _setup()
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4)
+    for i in range(6):
+        srv.submit(np.asarray([3 + i, 7, 11]), max_len=9)
+    done = srv.run()
+    assert len(done) == 6
+    for c in done:
+        assert c.tokens.shape[1] == cfg.n_quant
+        assert 1 <= c.length <= 9
