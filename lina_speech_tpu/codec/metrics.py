@@ -133,8 +133,14 @@ def external_metric_hooks(utmos_path: Optional[str] = None,
     if utmos_path:
         try:
             hooks["utmos"] = utmos_hook(utmos_path, sample_rate)
-        except Exception:
-            pass
+        except ImportError:
+            pass  # torch absent: graceful degradation
+        except Exception as e:
+            # an EXPLICIT checkpoint path that fails to load is a user
+            # error — surface it instead of silently dropping the metric
+            import warnings
+
+            warnings.warn(f"utmos hook disabled: {type(e).__name__}: {e}")
     try:
         hooks["pesq"] = pesq_hook(sample_rate)
     except ImportError:

@@ -23,16 +23,18 @@ def topk_accuracy(
     """logits: (..., l); target: (...) int. Returns scalar accuracy.
 
     "Target in top-k" is evaluated as rank-by-comparison — count of logits
-    strictly greater than the target's logit < k — one reduction pass
-    instead of ``lax.top_k``'s k-pass/sort lowering (this runs inside the
-    train step; B*T*4099 top-k was measurable step time). Equals the
-    top_k-based definition whenever the target's logit is not tied with
-    the k-th largest (ties are measure-zero for real logits).
+    ranked ahead of the target's < k — one reduction pass instead of
+    ``lax.top_k``'s k-pass/sort lowering (this runs inside the train step;
+    B*T*4099 top-k was measurable step time). Ties are broken by index
+    exactly like ``lax.top_k`` (lower index wins), which matters for bf16
+    logits where value ties are common (8-bit mantissa over a 4099-way
+    vocab).
     """
-    tgt_logit = jnp.take_along_axis(
-        logits, target[..., None].astype(jnp.int32), axis=-1
-    )
-    hit = (logits > tgt_logit).sum(axis=-1) < top_k
+    tgt = target[..., None].astype(jnp.int32)
+    tgt_logit = jnp.take_along_axis(logits, tgt, axis=-1)
+    idx = jnp.arange(logits.shape[-1])
+    ahead = (logits > tgt_logit) | ((logits == tgt_logit) & (idx < tgt))
+    hit = ahead.sum(axis=-1) < top_k
     valid = jnp.ones_like(target, dtype=bool)
     for ig in ignore_index:
         valid &= target != ig

@@ -73,7 +73,13 @@ def short_conv_step(
     if bias is not None:
         out = out + bias[None, :]
     if activation == "silu":
-        # f32 silu on the rounded tap sum — bit-matches the fused Pallas
-        # decode kernel's in-VMEM epilogue (gla_pallas.py conv())
-        out = out * jnp.asarray(jnp.reciprocal(1.0 + jnp.exp(-out.astype(jnp.float32))), out.dtype)
+        # same dtype policy as causal_depthwise_conv so the XLA decode
+        # fallback bit-matches the XLA training/prefill path (the
+        # decode-vs-prefill parity invariant on CPU). The FUSED kernel
+        # family (chunk + decode) accumulates taps in f32 and silus in
+        # f32 in-VMEM — slightly different rounding; paths that mix the
+        # families (e.g. fused prefill + lazy XLA steps on TPU) differ by
+        # ~1 bf16 ulp in the conv output, covered by the parity tests'
+        # tolerances.
+        out = out * jax.nn.sigmoid(out)
     return out, new_state

@@ -49,9 +49,11 @@ def distributed_init(
     Returns True when running multi-process after the call.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_count() > 1
+    # NB: do NOT touch jax.process_count()/devices() before deciding —
+    # that initializes the local XLA backend and makes the subsequent
+    # jax.distributed.initialize() raise on every real multi-host launch.
     explicit = coordinator_address is not None
     import os
 
@@ -62,12 +64,17 @@ def distributed_init(
     )
     if not (explicit or autodetectable):
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:
+        # externally initialized (e.g. launcher already called it) is fine
+        if "already" not in str(e).lower():
+            raise
     _initialized = True
     return jax.process_count() > 1
 

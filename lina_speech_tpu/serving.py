@@ -208,43 +208,53 @@ class DecodeServer:
         return rid
 
     def _refill(self):
-        for slot_idx, slot in enumerate(self._slots):
-            if slot.rid is not None or not self._queue:
-                continue
+        # keep filling until no free slot or the queue drains — a request
+        # that completes AT prefill (stop in the prompt predictions, or
+        # max_len <= n_forced) frees its slot immediately and the next
+        # queued request must take it in the same pass
+        while self._queue:
+            slot_idx = next((i for i, s in enumerate(self._slots)
+                             if s.rid is None), None)
+            if slot_idx is None:
+                return
             rid, text, prompt, max_len = self._queue.popleft()
-            m = self.max_text_len
-            mlen = len(text)
-            if mlen > m:
-                raise ValueError(f"text length {mlen} > max_text_len {m}")
-            x = jnp.zeros((1, m), jnp.int32).at[0, :mlen].set(text)
-            valid = jnp.arange(m) < mlen
-            eye = jnp.eye(m, dtype=bool)
-            enc_mask = (valid[None, :, None] & valid[None, None, :]) | eye
-            ca1 = valid[None, None, :]  # (1, 1, m)
-            nq = self.model.n_quant
-            if prompt is not None:
-                p = np.asarray(prompt)
-                codes = np.concatenate(
-                    [np.ones((nq, 1, 1), np.int32),
-                     p[:, None, :].astype(np.int32)
-                     + self.model.n_special_token_in], axis=2)
-            else:
-                codes = np.ones((nq, 1, 1), np.int32)
-            n_forced = codes.shape[2]
-            self.key, sub = jax.random.split(self.key)
-            x_enc1, st1, y1, pre = self._prefill_one(
-                self.params, x, enc_mask, ca1, jnp.asarray(codes),
-                jnp.asarray(n_forced), sub)
-            (self._state, self._x_enc, self._ca_mask, self._y_embd,
-             self._t) = self._insert(
-                self._state, st1, self._x_enc, x_enc1, self._ca_mask, ca1,
-                self._y_embd, y1, self._t, jnp.asarray(n_forced, jnp.int32),
-                slot_idx)
-            slot.rid = rid
-            slot.t = n_forced
-            slot.max_len = max_len
-            slot.tokens = [np.asarray(pre[0, i]) for i in range(n_forced)]
-            self._maybe_finish(slot_idx)
+            self._fill_slot(slot_idx, rid, text, prompt, max_len)
+
+    def _fill_slot(self, slot_idx, rid, text, prompt, max_len):
+        slot = self._slots[slot_idx]
+        m = self.max_text_len
+        mlen = len(text)
+        if mlen > m:
+            raise ValueError(f"text length {mlen} > max_text_len {m}")
+        x = jnp.zeros((1, m), jnp.int32).at[0, :mlen].set(text)
+        valid = jnp.arange(m) < mlen
+        eye = jnp.eye(m, dtype=bool)
+        enc_mask = (valid[None, :, None] & valid[None, None, :]) | eye
+        ca1 = valid[None, None, :]  # (1, 1, m)
+        nq = self.model.n_quant
+        if prompt is not None:
+            p = np.asarray(prompt)
+            codes = np.concatenate(
+                [np.ones((nq, 1, 1), np.int32),
+                 p[:, None, :].astype(np.int32)
+                 + self.model.n_special_token_in], axis=2)
+        else:
+            codes = np.ones((nq, 1, 1), np.int32)
+        n_forced = codes.shape[2]
+        self.key, sub = jax.random.split(self.key)
+        x_enc1, st1, y1, pre = self._prefill_one(
+            self.params, x, enc_mask, ca1, jnp.asarray(codes),
+            jnp.asarray(n_forced), sub)
+        (self._state, self._x_enc, self._ca_mask, self._y_embd,
+         self._t) = self._insert(
+            self._state, st1, self._x_enc, x_enc1, self._ca_mask, ca1,
+            self._y_embd, y1, self._t, jnp.asarray(n_forced, jnp.int32),
+            slot_idx)
+        slot.rid = rid
+        slot.t = n_forced
+        slot.max_len = max_len
+        slot.tokens = [np.asarray(pre[0, i]) for i in range(n_forced)]
+        self._maybe_finish(slot_idx)
 
     def _maybe_finish(self, slot_idx: int):
         slot = self._slots[slot_idx]

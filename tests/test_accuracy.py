@@ -39,3 +39,16 @@ def test_all_ignored_is_zero_not_nan():
     target = jnp.ones((2, 3), jnp.int32)  # all ignore_index=1
     acc = topk_accuracy(logits, target)
     assert float(acc) == 0.0
+
+
+def test_bf16_ties_match_topk_tiebreak():
+    """bf16 logits tie frequently; the rank comparison must break ties by
+    index exactly like lax.top_k (lower index wins)."""
+    key = jax.random.PRNGKey(7)
+    # few distinct bf16 values -> many exact ties
+    logits = jnp.round(jax.random.normal(key, (8, 50, 31)) * 2).astype(
+        jnp.bfloat16)
+    target = jax.random.randint(jax.random.PRNGKey(8), (8, 50), 0, 31)
+    got = topk_accuracy(logits, target, top_k=5)
+    want = _oracle(logits, target, top_k=5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

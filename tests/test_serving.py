@@ -65,3 +65,16 @@ def test_slots_recycle_under_load():
     for c in done:
         assert c.tokens.shape[1] == cfg.n_quant
         assert 1 <= c.length <= 9
+
+
+def test_requests_finishing_at_prefill_do_not_strand_queue():
+    """A request that completes AT prefill (max_len <= n_forced) frees its
+    slot immediately; the queue must still drain fully."""
+    cfg, model, params = _setup()
+    srv = DecodeServer(model, params, n_slots=1, max_text_len=12, chunk=4)
+    for i in range(3):
+        srv.submit(np.asarray([5 + i, 9]), max_len=1)
+    done = srv.run()
+    assert len(done) == 3
+    for c in done:
+        assert c.length == 1
