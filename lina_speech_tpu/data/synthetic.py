@@ -28,8 +28,16 @@ def synthetic_tts_batches(
     seed: int = 0,
     tokenizer: Optional[TextTokenizer] = None,
     pad_to_multiple: int = 64,
+    structured: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Endless iterator of collated batches with random text/codes."""
+    """Endless iterator of collated batches.
+
+    ``structured=False``: random codes — loss plateaus at ln(n_codebook);
+    use for throughput benchmarks. ``structured=True``: audio tokens are a
+    deterministic function of the text (each text token maps to a cycle of
+    3 codes, read via cross-attention), so training loss actually
+    converges — use for end-to-end learning validation on hardware.
+    """
     rng = np.random.default_rng(seed)
     tokenizer = tokenizer or TextTokenizer()
     while True:
@@ -37,10 +45,15 @@ def synthetic_tts_batches(
         for _ in range(batch_size):
             n = int(rng.integers(min_audio_len, max_audio_len + 1))
             n_words = int(rng.integers(3, 10))
-            items.append(
-                {
-                    "audio_token": rng.integers(0, n_codebook, (n_quant, n)),
-                    "text": " ".join(rng.choice(_WORDS, n_words)),
-                }
-            )
+            text = " ".join(rng.choice(_WORDS, n_words))
+            if structured:
+                ids = np.asarray(tokenizer.encode(text), np.int64)
+                pos = np.arange(n)
+                src = ids[(pos // 3) % len(ids)]
+                q = np.arange(n_quant)[:, None]
+                audio = (src[None, :] * 131 + pos[None, :] % 3 * 47
+                         + q * 29) % n_codebook
+            else:
+                audio = rng.integers(0, n_codebook, (n_quant, n))
+            items.append({"audio_token": audio, "text": text})
         yield collate_tts(items, tokenizer, pad_to_multiple=pad_to_multiple)

@@ -57,10 +57,14 @@ def distributed_init(
     explicit = coordinator_address is not None
     import os
 
-    autodetectable = any(
+    # TPU_WORKER_HOSTNAMES marks a pod only when it lists SEVERAL hosts
+    # (single-host runtimes — e.g. the axon remote-TPU shim — set it to
+    # one hostname)
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    autodetectable = "," in workers or any(
         os.environ.get(k)
         for k in ("JAX_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
-                  "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+                  "MEGASCALE_COORDINATOR_ADDRESS")
     )
     if not (explicit or autodetectable):
         return False
@@ -75,6 +79,14 @@ def distributed_init(
         # externally initialized (e.g. launcher already called it) is fine
         if "already" not in str(e).lower():
             raise
+    except ValueError as e:
+        # auto-detection came up empty (partial env markers): degrade to
+        # single-process rather than crashing a plain run
+        import warnings
+
+        warnings.warn(f"distributed_init: auto-detect failed ({e}); "
+                      "running single-process")
+        return False
     _initialized = True
     return jax.process_count() > 1
 

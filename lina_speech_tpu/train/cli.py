@@ -33,6 +33,7 @@ def build_data(data_cfg: Dict[str, Any], model_cfg,
             min_audio_len=int(data_cfg.get("min_audio_len", 64)),
             max_audio_len=int(data_cfg.get("max_audio_len", 256)),
             seed=int(data_cfg.get("seed", 0)),
+            structured=bool(data_cfg.get("structured", False)),
         )
     if kind == "npz":
         from lina_speech_tpu.data.dataset import (
