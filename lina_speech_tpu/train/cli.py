@@ -143,16 +143,28 @@ def fit(args) -> None:
     eval_step = make_eval_step(model)
 
     logger = MetricsLogger(args.log_file, print_every=args.log_every)
-    timer = StepTimer()
+    # records are per-log-interval averages; interval 0 holds the compile
+    timer = StepTimer(warmup=1)
     rng = jax.random.PRNGKey(args.seed + 1)
 
+    import time as _time
+
+    t_mark = _time.perf_counter()
+    n_done = 0
     for step_idx in range(start_step, train_cfg.n_training_steps):
         batch = feed(next(data) if step_idx else batch0)
-        with timer:
-            state, metrics = train_step(state, batch, rng)
-            metrics = {k: float(v) for k, v in metrics.items()}
+        state, metrics = train_step(state, batch, rng)
+        n_done += 1
         if step_idx % args.log_every == 0:
-            metrics["step_time_s"] = timer.last
+            # fetching the metric scalars syncs the device queue — do it
+            # ONLY on log steps (a per-step fetch costs a full host<->device
+            # round trip and serializes dispatch against compute; measured
+            # ~2x step time over the remote-TPU tunnel)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            now = _time.perf_counter()
+            metrics["step_time_s"] = (now - t_mark) / n_done
+            timer.record((now - t_mark) / n_done)
+            t_mark, n_done = now, 0
             logger.log(step_idx, metrics)
         if args.ckpt_dir and step_idx > 0 and step_idx % args.ckpt_every == 0:
             save_checkpoint(os.path.abspath(args.ckpt_dir),
@@ -162,6 +174,11 @@ def fit(args) -> None:
         if args.eval_every and step_idx > 0 and step_idx % args.eval_every == 0:
             em = eval_step(state, feed(next(data)))
             logger.log(step_idx, {f"val_{k}": float(v) for k, v in em.items()})
+
+    if n_done:  # sync + account the tail interval
+        for v in metrics.values():
+            float(v)
+        timer.record((_time.perf_counter() - t_mark) / n_done)
 
     if args.ckpt_dir:
         save_checkpoint(os.path.abspath(args.ckpt_dir),

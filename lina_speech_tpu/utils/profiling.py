@@ -46,6 +46,11 @@ class StepTimer:
 
     def __exit__(self, *exc):
         dt = time.perf_counter() - self._t0
+        self.record(dt)
+
+    def record(self, dt: float):
+        """Record one step's wall time directly (context-manager-free use:
+        async dispatch loops that only sync at log points)."""
         self.n += 1
         if self.n > self.warmup:
             self.total += dt
