@@ -118,7 +118,6 @@ class DecodeServer:
         self._y_embd = jnp.zeros((B, d), cdt)
         self._t = jnp.zeros((B,), jnp.int32)
         self._state = model.empty_state(B)
-        self._step_counter = 0
 
         self._prefill_one = jax.jit(self._prefill_one_impl)
         self._decode_chunk = jax.jit(self._decode_chunk_impl)

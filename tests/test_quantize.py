@@ -66,3 +66,26 @@ def test_quantized_decode_runs_and_tracks_fp():
     assert (toks_q >= 0).all()
     agreement = (toks_q == toks_ref).mean()
     assert agreement > 0.7, f"greedy agreement {agreement:.2f}"
+
+
+def test_quantized_decode_composes_with_lazy_window():
+    """weight_quant='int8' + lazy micro-chunk decode run together (both
+    in-loop paths read the dequantized tree)."""
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+    from lina_speech_tpu.generate import generate_batch
+
+    cfg = lina_gla_tiny()
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, cfg.n_txt_vocab)
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        jax.random.PRNGKey(2), x, y, jnp.ones((2, 8, 8), bool),
+        jnp.ones((2, 8, 8), bool), jnp.ones((2, 8), bool),
+    )
+    out = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                         max_seqlen=16, k=1, force_max_seqlen=True,
+                         lazy_window=4, weight_quant="int8")
+    toks = np.asarray(out.tokens)
+    assert toks.shape == (cfg.n_quant, 2, 16)
+    assert (toks >= 0).all()
