@@ -78,3 +78,27 @@ def test_requests_finishing_at_prefill_do_not_strand_queue():
     assert len(done) == 3
     for c in done:
         assert c.length == 1
+
+
+def test_server_voice_clone_prompt_matches_generate():
+    """A request with a codec-code prompt (voice cloning) must match
+    generate_batch's prompt path exactly under greedy decoding."""
+    cfg, model, params = _setup()
+    text = np.asarray([6, 14, 22, 9])
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(5), (cfg.n_quant, 5), 0,
+                           cfg.n_codebook))
+    max_len = 18
+
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4)
+    rid = srv.submit(text, prompt=prompt, max_len=max_len)
+    done = {c.rid: c for c in srv.run()}
+
+    ref = generate_batch(
+        model, params, jnp.asarray(text)[None], jax.random.PRNGKey(9),
+        prompt=jnp.asarray(prompt)[:, None, :],
+        max_seqlen=max_len, k=1, force_max_seqlen=True,
+    )
+    ref_toks = np.asarray(ref.tokens)[:, 0, :].T  # (max_len, q)
+    c = done[rid]
+    np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
