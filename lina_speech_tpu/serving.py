@@ -89,6 +89,7 @@ class DecodeServer:
         temp: float = 1.0,
         first_greedy_quant: int = 1,
         seed: int = 0,
+        weight_quant: Optional[str] = None,
     ):
         self.model = model
         self.n_slots = n_slots
@@ -109,6 +110,19 @@ class DecodeServer:
                 params,
             )
         self.params = params
+        if weight_quant == "int8":
+            from lina_speech_tpu.utils.quantize import (
+                dequantize_params, quantize_params,
+            )
+
+            params_q = quantize_params(params)
+            # dequant traced inside the chunk loop: XLA streams int8
+            # weights (same opt-in knob as generate_batch)
+            self._loop_params = lambda: dequantize_params(params_q, cdt)
+        elif weight_quant is not None:
+            raise ValueError(f"unknown weight_quant {weight_quant!r}")
+        else:
+            self._loop_params = lambda: params
 
         d = model.d_model
         m = max_text_len
@@ -183,12 +197,13 @@ class DecodeServer:
 
         def step(carry, kk):
             state, y_embd, t = carry
+            lp = self._loop_params()
             logits, _, state = model.apply(
-                params, y_embd, x_enc, state, time_step=t,
+                lp, y_embd, x_enc, state, time_step=t,
                 crossatt_mask=ca_mask, method=LinaModel.decode_step,
             )
             toks = _sample_tokens(kk, logits, k, temp, fgq, False, True)
-            y_embd = model.apply(params, toks.T[:, :, None],
+            y_embd = model.apply(lp, toks.T[:, :, None],
                                  method=LinaModel.embed_tokens)[:, 0]
             return (state, y_embd, t + 1), toks
 
