@@ -27,7 +27,7 @@ from lina_speech_tpu.codec.ac import (
     ArithmeticCoder, ArithmeticDecoder, build_stable_quantized_cdf,
 )
 from lina_speech_tpu.codec.streaming_transformer import (
-    StreamingTransformerEncoder,
+    StreamingTransformerEncoder, init_streaming_state,
 )
 
 Array = jnp.ndarray
@@ -70,25 +70,37 @@ class EncodecLM(nn.Module):
         return jax.nn.softmax(logits, axis=-1), states, offset
 
 
-def _step_fn(model: EncodecLM, params):
+@functools.lru_cache(maxsize=8)
+def _step_fn(model: EncodecLM):
+    """One jitted streaming step per model CONFIG (cached — weak item r2#6:
+    the old version rebuilt jax.jit per compress/decompress call). Params,
+    state and offset are traced arguments, so every file and every step of
+    a stream reuses the same compiled program (fixed KV-ring shapes)."""
+
     @jax.jit
-    def step(tok, states, offset):
+    def step(params, tok, states, offset):
         # tok: (1, K, 1) shifted ids
         return model.apply(params, tok, states, offset)
 
     return step
 
 
+def _init_stream(model: EncodecLM):
+    states = init_streaming_state(1, model.dim, model.heads, model.n_layers,
+                                  model.past_context, model.dtype)
+    return states, jnp.zeros((), jnp.int32)
+
+
 def compress(model: EncodecLM, params, codes: np.ndarray,
              total_range_bits: int = 24) -> bytes:
     """codes: (K, T) ints in [0, card) -> entropy-coded bytes."""
     K, T = codes.shape
-    step = _step_fn(model, params)
+    step = _step_fn(model)
     coder = ArithmeticCoder()
-    states, offset = None, 0
+    states, offset = _init_stream(model)
     tok = jnp.zeros((1, K, 1), jnp.int32)  # initial token
     for t in range(T):
-        probs, states, offset = step(tok, states, offset)
+        probs, states, offset = step(params, tok, states, offset)
         p = np.asarray(probs[0, :, 0], np.float64)  # (K, card)
         for k in range(K):
             cdf = build_stable_quantized_cdf(p[k], total_range_bits)
@@ -100,13 +112,13 @@ def compress(model: EncodecLM, params, codes: np.ndarray,
 def decompress(model: EncodecLM, params, data: bytes, n_q: int, length: int,
                total_range_bits: int = 24) -> np.ndarray:
     """Inverse of :func:`compress` -> (n_q, length) codes."""
-    step = _step_fn(model, params)
+    step = _step_fn(model)
     dec = ArithmeticDecoder(data)
-    states, offset = None, 0
+    states, offset = _init_stream(model)
     tok = jnp.zeros((1, n_q, 1), jnp.int32)
     out = np.zeros((n_q, length), np.int64)
     for t in range(length):
-        probs, states, offset = step(tok, states, offset)
+        probs, states, offset = step(params, tok, states, offset)
         p = np.asarray(probs[0, :, 0], np.float64)
         for k in range(n_q):
             cdf = build_stable_quantized_cdf(p[k], total_range_bits)
