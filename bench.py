@@ -41,6 +41,7 @@ def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int,
             model, params, x, k, max_seqlen=steps, k=100,
             force_max_seqlen=True, lazy_window=lazy_window,
             weight_quant=weight_quant,
+            approx_topk=True,  # perf path opts into approx_max_k candidates
         )
 
     # compile + warmup (checksum forces a host fetch)

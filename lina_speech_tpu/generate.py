@@ -84,7 +84,7 @@ def generate_batch(
     force_max_seqlen: bool = False,
     return_att: bool = False,
     reference_compat_sampling: bool = False,
-    approx_topk: bool = True,
+    approx_topk: bool = False,
     lazy_window: int = 0,
     weight_quant: Optional[str] = None,
 ) -> GenerateResult:
@@ -95,10 +95,12 @@ def generate_batch(
         prompt: optional (q, b, p) raw codec codes for voice cloning; offset
             by ``n_special_token_in`` internally (modeling_lina.py:136).
         init_state: optional BackboneState (e.g. from initial-state tuning).
-        approx_topk: TPU-native approximate top-k candidate selection for
-            the sampled quantizers (exact sort is a measurable per-step
-            cost at 4099 logits); greedy (k=1) and reference-compat paths
-            are always exact.
+        approx_topk: opt-in TPU-native approximate top-k candidate
+            selection (``jax.lax.approx_max_k``, recall ~0.95) for the
+            sampled quantizers — the exact sort is a measurable per-step
+            cost at 4099 logits, so the perf benches enable this. Default
+            False: sampling is exact unless asked (greedy k=1 and
+            reference-compat paths are always exact either way).
         weight_quant: "int8" stores the large matrices int8 + per-channel
             scales for the TOKEN LOOP only (prefill / text encoding stay
             full precision); dequant is traced inside the loop so XLA

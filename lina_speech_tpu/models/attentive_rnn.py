@@ -166,20 +166,28 @@ class EncoderCrossDecoder(nn.Module):
         deterministic: bool = True,
         forced_attention: Optional[Array] = None,
         attention_only: bool = False,
+        conv_history: bool = False,
+        time_offset: int | Array = 0,
     ):
         """x: (b, t, d) audio-embedding stream; ctx: (b, m, d) text encoding.
 
-        Returns (y, att) or (y, att, final_state).
+        Returns (y, att) or (y, att, final_state). ``conv_history`` makes
+        every mixer consume ``init_state``'s conv rings as causal history
+        and ``time_offset`` offsets rotary cross-attention query positions —
+        together they make a mid-stream chunked prefill exact (serving runs
+        a prompt as a few power-of-two chunks, bounding compiled programs).
         """
         use_state = init_state is not None or output_final_state
         if init_state is None and use_state:
             init_state = self.empty_state(x.shape[0])
+        hist_kw = {"conv_history": True} if conv_history else {}
 
         def run_block(block, x, layer_state):
             if use_state:
                 return block(
                     x, reset_mask=reset_mask, initial_state=layer_state,
                     output_final_state=True, deterministic=deterministic,
+                    **hist_kw,
                 )
             if self.remat and deterministic is False:
                 fn = nn.remat(lambda m, a, rm: m(a, reset_mask=rm, deterministic=False))
@@ -202,10 +210,12 @@ class EncoderCrossDecoder(nn.Module):
         elif self._has_stateful_crossatt:
             v, att, ca_final = self.cross_att(
                 x, ctx, mask=mask, pos=crossatt_pos, pos_net_state=ca_state,
-                reset_mask=reset_mask, return_weights=return_att,
+                reset_mask=reset_mask, time_step=time_offset,
+                return_weights=return_att, **hist_kw,
             )
         else:
-            v, att = self.cross_att(x, ctx, mask=mask, return_weights=return_att)
+            v, att = self.cross_att(x, ctx, mask=mask, time_step=time_offset,
+                                    return_weights=return_att)
         if attention_only:
             return v, att
         x = x + v
@@ -375,23 +385,28 @@ class InterleavedCrossAtt(nn.Module):
     def __call__(self, x, ctx, mask=None, reset_mask=None, init_state=None,
                  crossatt_pos=None, return_att: bool = False,
                  output_final_state: bool = False, deterministic: bool = True,
-                 forced_attention=None, attention_only: bool = False):
+                 forced_attention=None, attention_only: bool = False,
+                 conv_history: bool = False, time_offset: int | Array = 0):
         use_state = init_state is not None or output_final_state
         if init_state is None and use_state:
             init_state = self.empty_state(x.shape[0])
+        hist_kw = {"conv_history": True} if conv_history else {}
         idx = {k: i for i, k in enumerate(self.cross_att_layers)}
         atts = []
         final_layers = []
         for i, blk in enumerate(self.blocks):
             if use_state:
                 x, st = blk(x, reset_mask=reset_mask, initial_state=init_state.layers[i],
-                            output_final_state=True, deterministic=deterministic)
+                            output_final_state=True, deterministic=deterministic,
+                            **hist_kw)
             else:
                 x = blk(x, reset_mask=reset_mask, deterministic=deterministic)
                 st = None
             final_layers.append(st)
             if i in idx:
-                v, att = self.cross_att[idx[i]](x, ctx, mask=mask, return_weights=return_att)
+                v, att = self.cross_att[idx[i]](x, ctx, mask=mask,
+                                                time_step=time_offset,
+                                                return_weights=return_att)
                 x = x + v
                 if att is not None:
                     atts.append(att)

@@ -181,10 +181,16 @@ class BlindCrossAttention(nn.Module):
         pos: Optional[Array] = None,
         pos_net_state=None,
         reset_mask: Optional[Array] = None,
+        time_step: Optional[Array] = None,
         return_weights: bool = False,
+        conv_history: bool = False,
     ):
-        """Full-sequence path. Returns (out, att, pos_net_final_state)."""
-        qh, kh, vh = self._proj(q, k)
+        """Full-sequence path. Returns (out, att, pos_net_final_state).
+
+        ``time_step`` offsets the rotary query positions (mid-stream chunked
+        prefill); ``conv_history`` makes the pos_net consume its incoming
+        conv rings as causal history (see GatedLinearAttention)."""
+        qh, kh, vh = self._proj(q, k, time_step=time_step)
         b, _, j, _ = kh.shape
         if mask is not None and mask.ndim == 3:
             mask = mask[:, None]
@@ -196,8 +202,10 @@ class BlindCrossAttention(nn.Module):
         x, att1 = sdpa(qh, kh, pe, mask=mask, return_weights=return_weights)
         x = x[:, 0]
         if pos_net_state is not None:
+            kw = {"conv_history": True} if conv_history else {}
             x, pos_net_final = self.pos_net(
-                x, reset_mask=reset_mask, initial_state=pos_net_state, output_final_state=True
+                x, reset_mask=reset_mask, initial_state=pos_net_state,
+                output_final_state=True, **kw,
             )
         else:
             x = self.pos_net(x, reset_mask=reset_mask)
@@ -263,14 +271,17 @@ class CrossAttentionPP(nn.Module):
         reset_mask: Optional[Array] = None,
         time_step: Optional[Array] = None,
         return_weights: bool = False,
+        conv_history: bool = False,
     ):
         b, n, d = k.shape
         pe = self.pos_emb(jnp.arange(n))[None]
         k_pos = k + pe
         y, att1 = self.ca_0(q, k, k_pos, mask=mask, time_step=time_step, return_weights=return_weights)
         if pos_net_state is not None:
+            kw = {"conv_history": True} if conv_history else {}
             y, inter_final = self.inter_net(
-                y, reset_mask=reset_mask, initial_state=pos_net_state, output_final_state=True
+                y, reset_mask=reset_mask, initial_state=pos_net_state,
+                output_final_state=True, **kw,
             )
         else:
             y = self.inter_net(y, reset_mask=reset_mask)

@@ -262,12 +262,17 @@ class GatedLinearAttention(nn.Module):
         mode: str = "auto",
         reset_val: float = -20.0,
         output_final_state: bool = False,
+        conv_history: bool = False,
     ):
         """x: (b, t, d) -> (b, t, d) [, GLAState if output_final_state].
 
-        Conv ring-buffer states are assumed zero at sequence start (causal
-        padding); ``initial_state.s`` seeds the recurrence (init-state
-        tuning, generation prefill).
+        By default conv ring-buffer states are assumed zero at sequence
+        start (causal padding); ``initial_state.s`` seeds the recurrence
+        (init-state tuning, generation prefill). ``conv_history=True``
+        additionally consumes ``initial_state``'s conv rings as the causal
+        history of this chunk — exact mid-stream continuation (bucketed
+        serving prefill runs a prompt as a few power-of-two chunks instead
+        of one program per length).
         """
         if mode == "auto":
             mode = self.kernel_mode
@@ -279,6 +284,20 @@ class GatedLinearAttention(nn.Module):
             # under dp x tp meshes too. CPU/tests: XLA chunk.
             mode = "chunk_pallas" if jax.default_backend() == "tpu" else "chunk"
 
+        use_hist = (conv_history and self.use_short_conv
+                    and initial_state is not None)
+        if conv_history and self.use_short_conv and initial_state is None:
+            raise ValueError("conv_history=True requires initial_state")
+
+        def conv_hist(conv_mod, z, ring):
+            # ring (w, b, dim) holds the last w conv INPUTS (newest last);
+            # the conv window of this chunk's first token needs the last
+            # w-1 of them as causal history.
+            w = ring.shape[0]
+            full = jnp.concatenate(
+                [ring[1:].transpose(1, 0, 2).astype(z.dtype), z], axis=1)
+            return conv_mod(full)[:, w - 1:]
+
         # In the shared-conv variant the reference rebinds hidden_states to the
         # conv output before gate/g projections (gla.py:150); mirror that.
         h = x
@@ -286,6 +305,7 @@ class GatedLinearAttention(nn.Module):
             mode == "chunk_pallas"
             and self.use_short_conv
             and not self.share_conv_kernel
+            and not use_hist
             and self._chunk_conv_fusable()
         )
         if fuse_conv:
@@ -293,8 +313,13 @@ class GatedLinearAttention(nn.Module):
             q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
         elif self.use_short_conv:
             if self.share_conv_kernel:
-                h = self.h_conv1d(x)
+                h = (conv_hist(self.h_conv1d, x, initial_state.conv_h)
+                     if use_hist else self.h_conv1d(x))
                 q, k, v = self.q_proj(h), self.k_proj(h), self.v_proj(h)
+            elif use_hist:
+                q = conv_hist(self.q_conv1d, self.q_proj(x), initial_state.conv_q)
+                k = conv_hist(self.k_conv1d, self.k_proj(x), initial_state.conv_k)
+                v = conv_hist(self.v_conv1d, self.v_proj(x), initial_state.conv_v)
             else:
                 q = self.q_conv1d(self.q_proj(x))
                 k = self.k_conv1d(self.k_proj(x))
@@ -343,16 +368,30 @@ class GatedLinearAttention(nn.Module):
             state = self.empty_state(x.shape[0], dtype=x.dtype).replace(s=s_final)
             if self.use_short_conv:
                 w = self.conv_size
-                tail = lambda z: jnp.pad(z, ((0, 0), (max(0, w - z.shape[1]), 0), (0, 0)))[
-                    :, -w:, :
-                ].transpose(1, 0, 2)
+
+                def tail(z, ring=None):
+                    # new ring = last w conv inputs; a short chunk (t < w)
+                    # keeps the incoming history's tail when continuing
+                    if use_hist and ring is not None:
+                        z = jnp.concatenate(
+                            [ring.transpose(1, 0, 2).astype(z.dtype), z],
+                            axis=1)
+                    else:
+                        z = jnp.pad(z, ((0, 0), (max(0, w - z.shape[1]), 0),
+                                        (0, 0)))
+                    return z[:, -w:, :].transpose(1, 0, 2)
+
                 if self.share_conv_kernel:
-                    state = state.replace(conv_h=tail(x))
+                    ring = initial_state.conv_h if use_hist else None
+                    state = state.replace(conv_h=tail(x, ring))
                 else:
+                    rq, rk, rv = ((initial_state.conv_q, initial_state.conv_k,
+                                   initial_state.conv_v) if use_hist
+                                  else (None, None, None))
                     state = state.replace(
-                        conv_q=tail(self.q_proj(x)),
-                        conv_k=tail(self.k_proj(x)),
-                        conv_v=tail(self.v_proj(x)),
+                        conv_q=tail(self.q_proj(x), rq),
+                        conv_k=tail(self.k_proj(x), rk),
+                        conv_v=tail(self.v_proj(x), rv),
                     )
             return out, state
         return out

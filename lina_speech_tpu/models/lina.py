@@ -176,17 +176,28 @@ class LinaModel(nn.Module):
         crossatt_pos: Optional[Array] = None,
         return_att: bool = False,
         crossatt_mask: Optional[Array] = None,
+        conv_history: bool = False,
+        time_offset: int | Array = 0,
     ):
         """Chunk-parallel prefill of (b, t, d) forced embeddings.
 
         Returns (logits (b, t, q, l), att, final_state): logits at every
         position (the model's predictions under teacher forcing) and the
-        state ready for AR continuation.
+        state ready for AR continuation. ``conv_history``/``time_offset``
+        make a mid-stream continuation chunk exact (bucketed serving
+        prefill; see EncoderCrossDecoder.__call__).
         """
+        kw = {}
+        # only the mid-stream-capable backbones accept these (GLA family);
+        # default single-shot prefill keeps every backbone's signature
+        if conv_history:
+            kw["conv_history"] = True
+        if not (isinstance(time_offset, int) and time_offset == 0):
+            kw["time_offset"] = time_offset
         y_hat, att, final_state = self.attentive_rnn(
             y_embd, x_enc, mask=crossatt_mask, init_state=state,
             crossatt_pos=crossatt_pos,
-            return_att=return_att, output_final_state=True,
+            return_att=return_att, output_final_state=True, **kw,
         )
         return self._head(y_hat), att, final_state
 

@@ -101,15 +101,27 @@ class MambaMixer(nn.Module):
         reset_mask: Optional[Array] = None,
         initial_state: Optional[MambaState] = None,
         output_final_state: bool = False,
-        **kwargs,
+        conv_history: bool = False,
     ):
         """x: (b, t, d). reset_mask zeroes dt... state wipe is emulated by a
-        huge dt*A decay at reset positions."""
+        huge dt*A decay at reset positions. ``conv_history=True`` consumes
+        ``initial_state.conv`` as the causal conv history (exact mid-stream
+        chunk continuation, same contract as GatedLinearAttention)."""
         b, t, _ = x.shape
         xz = self.in_proj(x)
         xs, z = jnp.split(xz, 2, axis=-1)
-        x_conv = causal_depthwise_conv(xs, self.conv_kernel.astype(self.dtype),
+        use_hist = conv_history and initial_state is not None
+        if conv_history and initial_state is None:
+            raise ValueError("conv_history=True requires initial_state")
+        conv_in = xs
+        if use_hist:
+            ring = initial_state.conv  # (w, b, d_inner), last w conv inputs
+            conv_in = jnp.concatenate(
+                [ring[1:].transpose(1, 0, 2).astype(xs.dtype), xs], axis=1)
+        x_conv = causal_depthwise_conv(conv_in, self.conv_kernel.astype(self.dtype),
                                        self.conv_bias.astype(self.dtype))
+        if use_hist:
+            x_conv = x_conv[:, self.d_conv - 1:]
         dt, A, B, C = self._ssm_inputs(x_conv)
         s0 = initial_state.h if initial_state is not None else None
         y, h_final = selective_scan(x_conv, dt, A, B, C, self.D, initial_state=s0,
@@ -117,7 +129,13 @@ class MambaMixer(nn.Module):
         out = self.out_proj(y * nn.silu(z))
         if output_final_state:
             w = self.d_conv
-            tail = jnp.pad(xs, ((0, 0), (max(0, w - t), 0), (0, 0)))[:, -w:, :]
+            if use_hist:
+                full = jnp.concatenate(
+                    [initial_state.conv.transpose(1, 0, 2).astype(xs.dtype), xs],
+                    axis=1)
+                tail = full[:, -w:, :]
+            else:
+                tail = jnp.pad(xs, ((0, 0), (max(0, w - t), 0), (0, 0)))[:, -w:, :]
             return out, MambaState(h=h_final, conv=tail.transpose(1, 0, 2))
         return out
 
@@ -203,14 +221,26 @@ class Mamba2Mixer(nn.Module):
 
     def __call__(self, x: Array, reset_mask: Optional[Array] = None,
                  initial_state: Optional[MambaState] = None,
-                 output_final_state: bool = False, **kwargs):
+                 output_final_state: bool = False,
+                 conv_history: bool = False):
         from lina_speech_tpu.ops.gla import gla_chunk
 
         b, t, _ = x.shape
         zxbcdt = self.in_proj(x)
         z, xbc_pre, dt = self._split_proj(zxbcdt)
-        xbc = causal_depthwise_conv(xbc_pre, self.conv_kernel.astype(self.dtype),
+        use_hist = conv_history and initial_state is not None
+        if conv_history and initial_state is None:
+            raise ValueError("conv_history=True requires initial_state")
+        conv_in = xbc_pre
+        if use_hist:
+            ring = initial_state.conv  # (w, b, conv_dim)
+            conv_in = jnp.concatenate(
+                [ring[1:].transpose(1, 0, 2).astype(xbc_pre.dtype), xbc_pre],
+                axis=1)
+        xbc = causal_depthwise_conv(conv_in, self.conv_kernel.astype(self.dtype),
                                     self.conv_bias.astype(self.dtype))
+        if use_hist:
+            xbc = xbc[:, self.d_conv - 1:]
         xs, B, C = jnp.split(xbc, [self.d_inner, self.d_inner + self.d_state], axis=-1)
         q, k, v, gk, xh = self._heads(xs, B, C, dt)
         if reset_mask is not None:
@@ -226,7 +256,13 @@ class Mamba2Mixer(nn.Module):
         out = self.out_proj(o)
         if output_final_state:
             w = self.d_conv
-            tail = jnp.pad(xbc_pre, ((0, 0), (max(0, w - t), 0), (0, 0)))[:, -w:, :]
+            if use_hist:
+                full = jnp.concatenate(
+                    [initial_state.conv.transpose(1, 0, 2).astype(xbc_pre.dtype),
+                     xbc_pre], axis=1)
+                tail = full[:, -w:, :]
+            else:
+                tail = jnp.pad(xbc_pre, ((0, 0), (max(0, w - t), 0), (0, 0)))[:, -w:, :]
             st = MambaState(
                 h=s_final.reshape(b, self.n_heads * self.d_state, self.headdim),
                 conv=tail.transpose(1, 0, 2),

@@ -142,7 +142,13 @@ class RWKV6Attention(nn.Module):
         mode: str = "auto",
         reset_val: float = -20.0,
         output_final_state: bool = False,
+        conv_history: bool = False,
     ):
+        # conv_history (the mid-stream chunk-continuation contract shared
+        # with GatedLinearAttention) is accepted for interface parity but
+        # needs no special handling: the 1-token ddlerp shift buffer is
+        # ALWAYS consumed from initial_state (zeros in a fresh state),
+        # so chunked continuation is exact by default.
         b, t, d = x.shape
         prev = (
             initial_state.shift[:, None]

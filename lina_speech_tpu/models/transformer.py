@@ -50,12 +50,28 @@ class CausalSelfAttention(nn.Module):
         return x.reshape(b, n, self.heads, d_head).transpose(0, 2, 1, 3)
 
     def __call__(self, x: Array, mask: Optional[Array] = None,
-                 return_kv: bool = False):
+                 return_kv: bool = False,
+                 kv_state: Optional[KVState] = None,
+                 time_offset: int | Array = 0):
+        """``kv_state``: mid-stream chunk continuation — new keys/values are
+        written into the fixed buffer at position ``kv_state.t`` and queries
+        attend over the whole valid prefix (rotary at absolute positions)."""
         b, n, _ = x.shape
         q, k, v = jnp.split(self.qkv(x), 3, axis=-1)
         q, k, v = self._split(q, b, n), self._split(k, b, n), self._split(v, b, n)
         rot = (self.dim // self.heads) // 2
-        pos = jnp.arange(n)
+        if kv_state is not None:
+            t0 = kv_state.t
+            pos = jnp.arange(n) + t0
+            q, k = apply_rotary(q, pos, rot), apply_rotary(k, pos, rot)
+            k_buf = jax.lax.dynamic_update_slice_in_dim(kv_state.k, k, t0, axis=2)
+            v_buf = jax.lax.dynamic_update_slice_in_dim(kv_state.v, v, t0, axis=2)
+            jpos = jnp.arange(k_buf.shape[2])
+            valid = jpos[None, :] <= (t0 + jnp.arange(n))[:, None]  # (n, S)
+            y, _ = sdpa(q, k_buf, v_buf, mask=valid[None, None])
+            y = y.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+            return y, KVState(k=k_buf, v=v_buf, t=t0 + n)
+        pos = jnp.arange(n) + time_offset
         q, k = apply_rotary(q, pos, rot), apply_rotary(k, pos, rot)
         y, _ = sdpa(q, k, v, mask=mask, is_causal=True)
         y = y.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
@@ -109,15 +125,28 @@ class TransformerCrossAtt(nn.Module):
 
     def __call__(self, x, ctx, mask=None, reset_mask=None, init_state=None,
                  crossatt_pos=None, return_att: bool = False,
-                 output_final_state: bool = False, deterministic: bool = True):
+                 output_final_state: bool = False, deterministic: bool = True,
+                 conv_history: bool = False, time_offset: int | Array = 0):
+        """``conv_history=True`` (name shared with the recurrent backbones'
+        mid-stream contract) continues from ``init_state``'s fixed KV
+        buffers: this chunk's keys/values land at position ``t`` and its
+        rotary/cross-att positions start at ``time_offset``."""
         idx = {k: i for i, k in enumerate(self.cross_att_layers)}
         att = None
         b, n, _ = x.shape
         finals = []
+        if conv_history and init_state is None:
+            raise ValueError("conv_history=True requires init_state")
         for i, blk in enumerate(self.blocks):
-            if output_final_state:
+            if conv_history:
+                x, st = blk(x, deterministic=deterministic,
+                            kv_state=init_state.layers[i],
+                            time_offset=time_offset)
+                finals.append(st)
+            elif output_final_state:
                 # MixingBlock threads the tmix aux (k, v) back out
-                x, kv = blk(x, deterministic=deterministic, return_kv=True)
+                x, kv = blk(x, deterministic=deterministic, return_kv=True,
+                            time_offset=time_offset)
                 k_full, v_full = kv
                 pad = self.max_seqlen - n
                 kvpad = lambda z: jnp.pad(z, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -126,11 +155,13 @@ class TransformerCrossAtt(nn.Module):
             else:
                 x = blk(x, deterministic=deterministic)
             if i in idx:
-                v, a = self.cross_att[idx[i]](x, ctx, mask=mask, return_weights=return_att)
+                v, a = self.cross_att[idx[i]](x, ctx, mask=mask,
+                                              time_step=time_offset,
+                                              return_weights=return_att)
                 x = x + v
                 if a is not None:
                     att = a if att is None else jnp.concatenate([att, a], axis=1)
-        if output_final_state:
+        if output_final_state or conv_history:
             return x, att, TransformerState(layers=tuple(finals))
         return x, att
 

@@ -40,6 +40,15 @@ def topk_sampling(key: jax.Array, logits: jnp.ndarray, k: int = 1,
     """
     if k == 1:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if reference_compat and temp > 1.0:
+        # at temp > 1 the reference's unscaled-threshold comparison can mask
+        # EVERY candidate (max(logits)/temp < kth), which torch would turn
+        # into NaNs while jax.random.categorical silently degenerates to
+        # index 0 — so "bug included" stops being reference-faithful there.
+        # The released inference setting is temp <= 1; refuse beyond it.
+        raise ValueError(
+            "reference_compat sampling is only reference-faithful for "
+            f"temp <= 1 (got temp={temp}); use the default formulation")
     if approx and not reference_compat:
         vals, idx = jax.lax.approx_max_k(logits, k, recall_target=0.95)
         choice = jax.random.categorical(key, vals.astype(jnp.float32) / temp,

@@ -12,22 +12,33 @@ TPU-native design: everything device-side is fixed-shape — text padded to
 ``max_text_len`` with a cross-attention mask, per-slot ``time_step``
 vectors (rotary variants take per-batch offsets), state insertion by
 ``dynamic_update_index`` over the batch axis of every state leaf (axis
-inferred per leaf: conv rings are (w, b, d), recurrent states (b, h, ...)).
-Two compiled programs total: ``_prefill_one`` (b=1) and ``_decode_chunk``
-(n_slots, ``chunk`` tokens per dispatch); slot refills happen between
-chunks on the host.
+inferred per leaf: conv rings are (w, b, dim), recurrent states (b, h, ...)).
 
-Greedy decoding (k=1) is bit-identical to :func:`generate.generate_batch`
-on the same request (tests/test_serving.py). One padding caveat: with
-``pos_type="convolutional"`` (the flagship's ConvPos), the non-causal
-31-tap positional smoothing sees different neighborhoods near the text
-tail under padding than an unpadded run would — sinusoidal positions are
-exactly padding-invariant.
+Compiled-program budget is BOUNDED for mixed prompt lengths: a
+voice-clone prompt of any length prefills as its BINARY DECOMPOSITION
+into descending power-of-two chunks (13 -> 8+4+1), each chunk threading
+the backbone state (recurrent + conv rings via ``conv_history``, rotary
+positions via ``time_offset``) — numerically the same recurrence, so at
+most log2(max prompt)+1 prefill programs ever compile, instead of one
+per distinct length. Plus one decode-chunk program, one text-encode
+program and one embed program.
+
+Greedy decoding (k=1) matches :func:`generate.generate_batch` on the
+same request (tests/test_serving.py; chunked prefill is exact up to fp
+summation order). One padding caveat: with ``pos_type="convolutional"``
+(the flagship's ConvPos), the non-causal 31-tap positional smoothing sees
+different neighborhoods near the text tail under padding than an unpadded
+run would — sinusoidal positions are exactly padding-invariant.
+
+``weight_quant="int8"`` keeps ONLY the quantized tree resident (~2x less
+HBM than params + quantized copy); every program takes it as a traced
+argument and dequantizes in-trace, so XLA streams int8 weights from HBM
+in the decode loop (the b1 bandwidth win) and nothing is baked into the
+executable as a constant.
 """
 from __future__ import annotations
 
 import dataclasses
-import functools
 from collections import deque
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -68,6 +79,17 @@ def _batch_axis(b_shape, o_shape, n_slots):
     raise ValueError(f"no batch axis between {b_shape} and {o_shape}")
 
 
+def _pow2_chunks(n: int) -> List[int]:
+    """Binary decomposition of ``n`` into descending powers of two."""
+    out, bit = [], 1 << (n.bit_length() - 1)
+    while n:
+        if n >= bit:
+            out.append(bit)
+            n -= bit
+        bit >>= 1
+    return out
+
+
 class DecodeServer:
     """Continuous-batching TTS decode engine.
 
@@ -90,17 +112,21 @@ class DecodeServer:
         first_greedy_quant: int = 1,
         seed: int = 0,
         weight_quant: Optional[str] = None,
+        approx_topk: bool = False,
     ):
         self.model = model
         self.n_slots = n_slots
         self.max_text_len = max_text_len
         self.chunk = chunk
-        self.sample_args = (k, temp, first_greedy_quant)
+        self.sample_args = (k, temp, first_greedy_quant, approx_topk)
         self.key = jax.random.PRNGKey(seed)
         self._next_rid = 0
         self._queue: deque = deque()
         self._slots = [_Slot() for _ in range(n_slots)]
         self._done: List[Completion] = []
+        # distinct prefill chunk lengths compiled so far (observability for
+        # the bounded-compile contract; tests assert on it)
+        self.prefill_chunk_sizes: set = set()
 
         cdt = model.dtype
         if cdt != jnp.float32:
@@ -109,20 +135,22 @@ class DecodeServer:
                 if (hasattr(p, "dtype") and p.dtype == jnp.float32) else p,
                 params,
             )
-        self.params = params
         if weight_quant == "int8":
             from lina_speech_tpu.utils.quantize import (
                 dequantize_params, quantize_params,
             )
 
-            params_q = quantize_params(params)
-            # dequant traced inside the chunk loop: XLA streams int8
-            # weights (same opt-in knob as generate_batch)
-            self._loop_params = lambda: dequantize_params(params_q, cdt)
+            # ONLY the quantized tree stays resident; every jitted program
+            # receives it as an argument and dequantizes in-trace (decode
+            # streams int8 from HBM; prefill pays a per-request dequant)
+            self._dev_params = quantize_params(params)
+            self._materialize = lambda tree: dequantize_params(tree, cdt)
+            del params
         elif weight_quant is not None:
             raise ValueError(f"unknown weight_quant {weight_quant!r}")
         else:
-            self._loop_params = lambda: params
+            self._dev_params = params
+            self._materialize = lambda tree: tree
 
         d = model.d_model
         m = max_text_len
@@ -133,44 +161,49 @@ class DecodeServer:
         self._t = jnp.zeros((B,), jnp.int32)
         self._state = model.empty_state(B)
 
-        self._prefill_one = jax.jit(self._prefill_one_impl)
+        self._encode_text = jax.jit(self._encode_text_impl)
+        self._prefill_chunk = jax.jit(self._prefill_chunk_impl,
+                                      static_argnames=("conv_history",))
+        self._embed_one = jax.jit(self._embed_one_impl)
         self._decode_chunk = jax.jit(self._decode_chunk_impl)
         self._insert = jax.jit(self._insert_impl)
 
     # ------------------------------------------------------------ jitted
-    def _prefill_one_impl(self, params, x, enc_mask, ca_mask, forced_codes,
-                          n_forced, key):
-        """b=1 prefill. ``forced_codes``: (q, 1, P) codes (head token 1 in
-        column 0, then offset prompt codes, zero-padded); ``n_forced``: ()
-        number of valid columns; returns everything the slot needs."""
+    def _encode_text_impl(self, dev_params, x, enc_mask):
+        params = self._materialize(dev_params)
+        return self.model.apply(params, x, enc_mask,
+                                method=LinaModel.encode_text)
+
+    def _prefill_chunk_impl(self, dev_params, x_enc, ca_mask, codes_chunk,
+                            time_offset, key, conv_history, state):
+        """One power-of-two prefill chunk (b=1). ``codes_chunk``: (q, 1, c)
+        forced codes; ``state`` threads between chunks (``conv_history``
+        consumes its conv rings mid-stream). Returns (tokens (1, c, q),
+        new_state)."""
         model = self.model
-        x_enc = model.apply(params, x, enc_mask, method=LinaModel.encode_text)
-        forced = model.apply(params, forced_codes,
-                             method=LinaModel.embed_tokens)  # (1, P, d)
-        state0 = model.empty_state(1)
-        P = forced.shape[1]
-        pf_mask = jnp.broadcast_to(ca_mask, (1, P, ca_mask.shape[-1]))
-        logits_pre, _, state = model.apply(
-            params, forced, x_enc, state0, crossatt_mask=pf_mask,
+        params = self._materialize(dev_params)
+        emb = model.apply(params, codes_chunk,
+                          method=LinaModel.embed_tokens)  # (1, c, d)
+        c = emb.shape[1]
+        pf_mask = jnp.broadcast_to(ca_mask, (1, c, ca_mask.shape[-1]))
+        logits, _, state = model.apply(
+            params, emb, x_enc, state, crossatt_mask=pf_mask,
+            conv_history=conv_history, time_offset=time_offset,
             method=LinaModel.prefill,
-        )  # (1, P, q, l)
-        k, temp, fgq = self.sample_args
-        keys = jax.random.split(key, P)
-        pre_tokens = jax.vmap(
-            lambda kk, lg: _sample_tokens(kk, lg, k, temp, fgq, False, True),
+        )  # (1, c, q, l)
+        k, temp, fgq, approx = self.sample_args
+        keys = jax.random.split(key, c)
+        tokens = jax.vmap(
+            lambda kk, lg: _sample_tokens(kk, lg, k, temp, fgq, False, approx),
             in_axes=(0, 1), out_axes=1,
-        )(keys, logits_pre)  # (1, P, q)
-        # mask out padded forced columns (beyond n_forced) as head tokens
-        col = jnp.arange(P)[None, :, None]
-        pre_tokens = jnp.where(col < n_forced, pre_tokens, 1)
-        last = jax.lax.dynamic_index_in_dim(
-            pre_tokens, n_forced - 1, axis=1, keepdims=False)  # (1, q)
-        y_next = model.apply(params, last.T[:, :, None],
-                             method=LinaModel.embed_tokens)[:, 0]  # (1, d)
-        # state reflects only the first n_forced positions? prefill ran all
-        # P; padded columns would pollute the state, so P must equal
-        # n_forced (the host pads per-request programs, not columns).
-        return x_enc, state, y_next, pre_tokens
+        )(keys, logits)  # (1, c, q)
+        return tokens, state
+
+    def _embed_one_impl(self, dev_params, toks):
+        """toks: (1, q) -> (1, d) next-step input embedding."""
+        params = self._materialize(dev_params)
+        return self.model.apply(params, toks.T[:, :, None],
+                                method=LinaModel.embed_tokens)[:, 0]
 
     def _insert_impl(self, batch_state, one_state, x_enc_b, x_enc1, ca_b,
                      ca1, y_b, y1, t_b, t1, slot):
@@ -190,19 +223,22 @@ class DecodeServer:
         t_b = jax.lax.dynamic_update_index_in_dim(t_b, t1, slot, axis=0)
         return new_state, x_enc_b, ca_b, y_b, t_b
 
-    def _decode_chunk_impl(self, params, state, y_embd, x_enc, ca_mask, t,
-                           key):
+    def _decode_chunk_impl(self, dev_params, state, y_embd, x_enc, ca_mask,
+                           t, key):
         model = self.model
-        k, temp, fgq = self.sample_args
+        k, temp, fgq, approx = self.sample_args
+        # materialize INSIDE the traced body from the argument tree: in int8
+        # mode XLA streams the int8 leaves each step (nothing constant-folds
+        # — the tree is an input, not a closure-captured constant)
+        lp = self._materialize(dev_params)
 
         def step(carry, kk):
             state, y_embd, t = carry
-            lp = self._loop_params()
             logits, _, state = model.apply(
                 lp, y_embd, x_enc, state, time_step=t,
                 crossatt_mask=ca_mask, method=LinaModel.decode_step,
             )
-            toks = _sample_tokens(kk, logits, k, temp, fgq, False, True)
+            toks = _sample_tokens(kk, logits, k, temp, fgq, False, approx)
             y_embd = model.apply(lp, toks.T[:, :, None],
                                  method=LinaModel.embed_tokens)[:, 0]
             return (state, y_embd, t + 1), toks
@@ -255,10 +291,26 @@ class DecodeServer:
         else:
             codes = np.ones((nq, 1, 1), np.int32)
         n_forced = codes.shape[2]
-        self.key, sub = jax.random.split(self.key)
-        x_enc1, st1, y1, pre = self._prefill_one(
-            self.params, x, enc_mask, ca1, jnp.asarray(codes),
-            jnp.asarray(n_forced), sub)
+
+        x_enc1 = self._encode_text(self._dev_params, x, enc_mask)
+        # binary-decomposed prefill: descending pow2 chunks, state threaded
+        st1 = self.model.empty_state(1)
+        pre_rows: List[np.ndarray] = []
+        off = 0
+        for c in _pow2_chunks(n_forced):
+            self.key, sub = jax.random.split(self.key)
+            self.prefill_chunk_sizes.add(c)
+            toks, st1 = self._prefill_chunk(
+                self._dev_params, x_enc1, ca1,
+                jnp.asarray(codes[:, :, off:off + c]),
+                jnp.asarray(off, jnp.int32), sub,
+                conv_history=(off > 0), state=st1)
+            toks_np = np.asarray(toks[0])  # (c, q)
+            pre_rows.extend(toks_np[i] for i in range(c))
+            off += c
+        y1 = self._embed_one(self._dev_params,
+                             jnp.asarray(pre_rows[-1])[None, :])
+
         (self._state, self._x_enc, self._ca_mask, self._y_embd,
          self._t) = self._insert(
             self._state, st1, self._x_enc, x_enc1, self._ca_mask, ca1,
@@ -267,7 +319,7 @@ class DecodeServer:
         slot.rid = rid
         slot.t = n_forced
         slot.max_len = max_len
-        slot.tokens = [np.asarray(pre[0, i]) for i in range(n_forced)]
+        slot.tokens = pre_rows
         self._maybe_finish(slot_idx)
 
     def _maybe_finish(self, slot_idx: int):
@@ -300,7 +352,7 @@ class DecodeServer:
         while self.active and (max_chunks is None or chunks < max_chunks):
             self.key, sub = jax.random.split(self.key)
             (self._state, self._y_embd, self._t, toks) = self._decode_chunk(
-                self.params, self._state, self._y_embd, self._x_enc,
+                self._dev_params, self._state, self._y_embd, self._x_enc,
                 self._ca_mask, self._t, sub)
             toks_np = np.asarray(toks)  # (chunk, B, q)
             for slot_idx, slot in enumerate(self._slots):

@@ -1,0 +1,63 @@
+"""Capture a jax.profiler trace of the flagship b64 decode loop on TPU.
+
+Writes to --out (default /tmp/jaxprof_decode); summarize with
+scripts/summarize_trace.py. The trace covers BENCH-shaped generation
+(prefill + lazy-window decode loop).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/jaxprof_decode")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--lazy-window", type=int, default=8)
+    ap.add_argument("--weight-quant", default=None)
+    args = ap.parse_args()
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    from lina_speech_tpu.config import lina_gla_169m, build_model
+    from lina_speech_tpu.generate import generate_batch
+
+    cfg = lina_gla_169m(compute_dtype="bfloat16")
+    model = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (args.batch, 32), 3, cfg.n_txt_vocab)
+    y = jax.random.randint(key, (2, 16, cfg.n_quant), 3, cfg.n_codebook + 3)
+    params = model.init(jax.random.PRNGKey(1), x[:2], y,
+                        jnp.ones((2, 32, 32), bool), jnp.ones((2, 16, 32), bool),
+                        jnp.ones((2, 16), bool))
+
+    def run(k):
+        return generate_batch(
+            model, params, x, k, max_seqlen=args.steps, k=100,
+            force_max_seqlen=True, lazy_window=args.lazy_window,
+            weight_quant=args.weight_quant, approx_topk=True,
+        )
+
+    res = run(jax.random.PRNGKey(2))
+    print("warm:", int(jnp.asarray(res.tokens).sum()))
+
+    with jax.profiler.trace(args.out):
+        res = run(jax.random.PRNGKey(3))
+        print("traced:", int(jnp.asarray(res.tokens).sum()))
+    print("trace written to", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -141,3 +141,49 @@ def test_variant_forward_and_decode(kind, interleaved):
     np.testing.assert_allclose(
         np.asarray(logits_seq), np.asarray(logits_pre), rtol=3e-4, atol=3e-4
     )
+
+
+@pytest.mark.parametrize("kind,interleaved", [
+    ("simple_gla", False), ("rwkv6", False), ("transformer", False),
+    ("mamba", False), ("mamba2", False), ("gla", True), ("mamba", True),
+])
+def test_chunked_prefill_matches_full(kind, interleaved):
+    """Mid-stream continuation contract (bounded serving compiles): running
+    a prefill as [8, 4, 1] chunks with conv_history + time_offset must
+    reproduce the single-shot prefill (logits AND final state)."""
+    from lina_speech_tpu.models.lina import LinaModel
+
+    cfg, model = _variant_model(kind, interleaved)
+    b, m, n = 2, 7, 13
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (b, m), 3, 256)
+    y = jax.random.randint(key, (b, n, 1), 3, 53)
+    em = jnp.ones((b, m, m), bool)
+    cm = jnp.ones((b, n, m), bool)
+    lm = jnp.ones((b, n), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), x, y, em, cm, lm)
+
+    y_q = jnp.transpose(y, (2, 0, 1))
+    y_embd = model.apply(params, y_q, method=LinaModel.embed_tokens)
+    x_enc = model.apply(params, x, method=LinaModel.encode_text)
+    lg_full, _, st_full = model.apply(params, y_embd, x_enc,
+                                      model.empty_state(b),
+                                      method=LinaModel.prefill)
+
+    st = model.empty_state(b)
+    off, lgs = 0, []
+    for i, c in enumerate([8, 4, 1]):
+        lg, _, st = model.apply(params, y_embd[:, off:off + c], x_enc, st,
+                                conv_history=(i > 0),
+                                time_offset=jnp.asarray(off, jnp.int32),
+                                method=LinaModel.prefill)
+        lgs.append(lg)
+        off += c
+    lg_chunk = jnp.concatenate(lgs, axis=1)
+    np.testing.assert_allclose(np.asarray(lg_chunk), np.asarray(lg_full),
+                               rtol=3e-4, atol=3e-4)
+    for a, bb in zip(jax.tree_util.tree_leaves(st_full),
+                     jax.tree_util.tree_leaves(st)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(bb, np.float32),
+                                   rtol=3e-4, atol=3e-4)
