@@ -1,17 +1,26 @@
 """EnCodec-style model: SEANet encoder + RVQ + SEANet decoder.
 
 Rebuild of the reference's encoder stack (encoder/model.py:122-187) in its
-WavTokenizer configuration (single segment, no loudness normalization —
-model.py's segmented/normalized paths are EnCodec-compression features the
-lina pipeline never exercises; the API surface kept here is
-encode / decode / forward). The entropy-coding LM (model.py:27-65) and
-arithmetic coder (quantization/ac.py) are compression-only and dead code in
-the reference snapshot (imports a missing module) — intentionally omitted.
+WavTokenizer configuration, plus the EnCodec-compression periphery the
+reference keeps around it: SEGMENTED encode with per-segment loudness
+normalization (model.py:122-165) and linear overlap-add decode
+(model.py:167-187, utils.py:17-56). The working entropy-coding stack
+(dead code in the reference snapshot) lives in codec/lm.py + codec/ac.py;
+:func:`compress_audio` / :func:`decompress_audio` tie it to the segmented
+paths here so arbitrary-length audio compresses with bounded peak memory.
+
+TPU-native shape discipline: every segment runs at the FIXED
+``segment_length`` (the final partial segment is zero-padded and its code
+frames trimmed to ceil(valid / hop)), so one compiled encode program and
+one decode program serve a stream of any length.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+import functools
+import math
+import struct
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -71,3 +80,192 @@ class EncodecModel(nn.Module):
 
     def __call__(self, audio: Array) -> Array:
         return self.decode(self.encode(audio))
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.ratios:
+            out *= r
+        return out
+
+
+# --------------------------------------------------------------- segmented
+# Host-side drivers around per-segment jitted programs (fixed shapes).
+
+EncodedFrame = Tuple[Array, Optional[Array]]  # (codes (n_q, B, Tf), scale (B,))
+
+
+@functools.lru_cache(maxsize=8)
+def _frame_fns(model: EncodecModel, normalize: bool):
+    @jax.jit
+    def enc(params, frame):
+        # loudness normalization per segment (reference model.py:152-157;
+        # mono input, so volume == RMS of the frame)
+        if normalize:
+            volume = jnp.sqrt(jnp.mean(
+                frame.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+            scale = 1e-8 + volume
+            frame = (frame / scale).astype(frame.dtype)
+        else:
+            scale = None
+        codes = model.apply(params, frame, method=EncodecModel.encode)
+        return codes, scale
+
+    @jax.jit
+    def dec(params, codes, scale):
+        out = model.apply(params, codes, method=EncodecModel.decode)
+        if normalize:
+            out = out * scale
+        return out
+
+    return enc, dec
+
+
+def encode_segmented(
+    model: EncodecModel,
+    params,
+    audio: Array,
+    segment_length: int,
+    overlap: float = 0.01,
+    normalize: bool = False,
+) -> List[EncodedFrame]:
+    """Segment+stride encode of (B, T) audio (reference model.py:122-145).
+
+    Peak device memory is bounded by ``segment_length`` regardless of T;
+    every segment reuses one compiled program. Returns a list of
+    (codes, scale) frames; scale is None when ``normalize`` is False.
+    """
+    B, T = audio.shape
+    stride = max(1, int((1 - overlap) * segment_length))
+    hop = model.hop_length
+    enc, _ = _frame_fns(model, normalize)
+    frames: List[EncodedFrame] = []
+    for off in range(0, T, stride):
+        seg = audio[:, off:off + segment_length]
+        valid = seg.shape[-1]
+        if valid < segment_length:
+            seg = jnp.pad(seg, ((0, 0), (0, segment_length - valid)))
+        codes, scale = enc(params, seg)
+        n_frames = min(-(-valid // hop), codes.shape[-1])
+        frames.append((codes[..., :n_frames], scale))
+    return frames
+
+
+def linear_overlap_add(frames: List[Array], stride: int) -> Array:
+    """Triangle-weighted overlap-add (reference utils.py:17-56): each frame
+    is weighted by a triangle peaking mid-segment and the sum is normalized
+    by the accumulated weight, so non-overlapped regions pass through and
+    overlapped regions cross-fade linearly."""
+    assert frames
+    shape = frames[0].shape[:-1]
+    total = stride * (len(frames) - 1) + frames[-1].shape[-1]
+    out = jnp.zeros(shape + (total,), jnp.float32)
+    sum_w = jnp.zeros((total,), jnp.float32)
+    frame_len = frames[0].shape[-1]
+    t = jnp.linspace(0.0, 1.0, frame_len + 2)[1:-1]
+    weight = 0.5 - jnp.abs(t - 0.5)
+    off = 0
+    for fr in frames:
+        ln = fr.shape[-1]
+        out = out.at[..., off:off + ln].add(weight[:ln] * fr.astype(jnp.float32))
+        sum_w = sum_w.at[off:off + ln].add(weight[:ln])
+        off += stride
+    return out / sum_w
+
+
+def decode_segmented(
+    model: EncodecModel,
+    params,
+    frames: List[EncodedFrame],
+    segment_length: int,
+    overlap: float = 0.01,
+    normalize: bool = False,
+) -> Array:
+    """Decode segmented frames with linear overlap-add
+    (reference model.py:167-187). Short final frames are zero-padded to the
+    fixed program shape and trimmed after decoding."""
+    stride = max(1, int((1 - overlap) * segment_length))
+    hop = model.hop_length
+    seg_frames = segment_length // hop
+    _, dec = _frame_fns(model, normalize)
+    outs = []
+    for codes, scale in frames:
+        nf = codes.shape[-1]
+        if nf < seg_frames:
+            codes = jnp.pad(codes, ((0, 0), (0, 0), (0, seg_frames - nf)))
+        if scale is None:
+            scale = jnp.ones((codes.shape[1], 1), jnp.float32)
+        wav = dec(params, codes, scale)
+        outs.append(wav[..., :nf * hop])
+    return linear_overlap_add(outs, stride)
+
+
+# ----------------------------------------------- entropy-coded compression
+_MAGIC = b"LSTC"  # lina-speech tpu codec container
+
+
+def compress_audio(
+    model: EncodecModel,
+    params,
+    lm_model,
+    lm_params,
+    audio: Array,
+    segment_length: int,
+    overlap: float = 0.01,
+    normalize: bool = False,
+) -> bytes:
+    """Arbitrary-length (1, T) audio -> entropy-coded container: segmented
+    encode (bounded memory) + per-segment LM arithmetic coding (codec/lm.py)
+    + scales threaded through the header (reference model.py's normalize
+    contract; its own entropy path is dead code)."""
+    import numpy as np
+
+    from lina_speech_tpu.codec.lm import compress as lm_compress
+
+    B, T = audio.shape
+    assert B == 1, "compression container is single-stream"
+    frames = encode_segmented(model, params, audio, segment_length,
+                              overlap, normalize)
+    blob = [
+        _MAGIC,
+        struct.pack("<IIIBI", T, segment_length, len(frames),
+                    1 if normalize else 0, model.hop_length),
+    ]
+    for codes, scale in frames:
+        c = np.asarray(codes[:, 0])  # (n_q, Tf)
+        data = lm_compress(lm_model, lm_params, c)
+        s = float(np.asarray(scale)[0, 0]) if scale is not None else 1.0
+        blob.append(struct.pack("<IIf", c.shape[1], len(data), s))
+        blob.append(data)
+    return b"".join(blob)
+
+
+def decompress_audio(
+    model: EncodecModel,
+    params,
+    lm_model,
+    lm_params,
+    blob: bytes,
+    overlap: float = 0.01,
+) -> Array:
+    """Inverse of :func:`compress_audio` -> (1, T) waveform."""
+    import numpy as np
+
+    from lina_speech_tpu.codec.lm import decompress as lm_decompress
+
+    assert blob[:4] == _MAGIC, "bad container magic"
+    T, segment_length, n_frames, norm, hop = struct.unpack_from("<IIIBI", blob, 4)
+    off = 4 + struct.calcsize("<IIIBI")
+    frames: List[EncodedFrame] = []
+    for _ in range(n_frames):
+        tf, nbytes, s = struct.unpack_from("<IIf", blob, off)
+        off += struct.calcsize("<IIf")
+        data = blob[off:off + nbytes]
+        off += nbytes
+        codes = lm_decompress(lm_model, lm_params, data, n_q=model.n_q,
+                              length=tf)
+        frames.append((jnp.asarray(codes)[:, None, :],
+                       jnp.full((1, 1), s, jnp.float32) if norm else None))
+    wav = decode_segmented(model, params, frames, segment_length, overlap,
+                           normalize=bool(norm))
+    return wav[..., :T]

@@ -66,28 +66,50 @@ def main():
 
     events = load_events(args.trace_dir)
     pids = device_pids(events)
-    per_op = collections.Counter()
-    per_bucket = collections.Counter()
-    total = 0.0
+    # self-time: within each (pid, tid) track, subtract the time covered by
+    # nested child events (parent spans like `while` otherwise double-count)
+    tracks = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in pids:
             continue
-        name = e.get("name", "?")
-        if args.like and args.like not in name:
-            continue
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        key = _SANITIZE.sub("", name)
-        per_op[key] += dur
-        per_bucket[bucket(name)] += dur
-        total += dur
+        tracks[(e["pid"], e.get("tid"))].append(e)
+
+    per_op = collections.Counter()
+    per_count = collections.Counter()
+    per_bucket = collections.Counter()
+    total = 0.0
+    for evs in tracks.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (end_ts, child_time_accum_index)
+        child_time = [0.0] * len(evs)
+        order = []
+        for idx, e in enumerate(evs):
+            ts, dur = e["ts"], e.get("dur", 0)
+            while stack and stack[-1][0] <= ts:
+                stack.pop()
+            if stack:
+                child_time[stack[-1][1]] += dur
+            stack.append((ts + dur, idx))
+            order.append(idx)
+        for idx in order:
+            e = evs[idx]
+            name = e.get("name", "?")
+            if args.like and args.like not in name:
+                continue
+            self_dur = max(e.get("dur", 0) - child_time[idx], 0) / 1e3  # ms
+            key = _SANITIZE.sub("", name)
+            per_op[key] += self_dur
+            per_count[key] += 1
+            per_bucket[bucket(name)] += self_dur
+            total += self_dur
 
     print(f"total device op time: {total:.2f} ms")
     print("\n-- by bucket --")
     for k, v in per_bucket.most_common():
         print(f"{v:10.2f} ms  {100*v/max(total,1e-9):5.1f}%  {k}")
-    print(f"\n-- top {args.top} ops --")
+    print(f"\n-- top {args.top} ops (self time) --")
     for k, v in per_op.most_common(args.top):
-        print(f"{v:10.2f} ms  {100*v/max(total,1e-9):5.1f}%  {k[:110]}")
+        print(f"{v:10.2f} ms  {100*v/max(total,1e-9):5.1f}%  x{per_count[k]:<6d} {k[:100]}")
 
 
 if __name__ == "__main__":
