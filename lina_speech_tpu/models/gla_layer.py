@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+from lina_speech_tpu.ops.qlinear import QDense
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -66,7 +67,19 @@ def gla_add_lazy_buffers(state: GLAState, window: int,
 
 
 def gla_fold_lazy_state(state: GLAState) -> GLAState:
-    """Fold the buffered window into the base state (pure; no params)."""
+    """Fold the buffered window into the base state (pure; no params).
+
+    On TPU the fold runs as a fused Pallas kernel (one state read + one
+    write, rank-L update on the MXU); elsewhere the XLA reference fold."""
+    if jax.default_backend() == "tpu":
+        from lina_speech_tpu.ops.gla_pallas import gla_fold_fused
+
+        s = gla_fold_fused(state.s, state.kbuf, state.vbuf, state.cbuf,
+                           state.cc)
+        return state.replace(
+            s=s, kbuf=jnp.zeros_like(state.kbuf),
+            vbuf=jnp.zeros_like(state.vbuf),
+            cbuf=jnp.zeros_like(state.cbuf), cc=jnp.zeros_like(state.cc))
     from lina_speech_tpu.ops.gla import gla_decode_lazy_fold
 
     s, kbuf, vbuf, cbuf, cc = gla_decode_lazy_fold(
@@ -188,7 +201,7 @@ class GatedLinearAttention(nn.Module):
         return self.value_dim // self.num_heads
 
     def setup(self):
-        dense = lambda feat, name, bias=False: nn.Dense(
+        dense = lambda feat, name, bias=False: QDense(
             feat, use_bias=bias, kernel_init=_gla_init, dtype=self.dtype, name=name
         )
         self.q_proj = dense(self.key_dim, "q_proj")
@@ -459,6 +472,16 @@ class GatedLinearAttention(nn.Module):
         from lina_speech_tpu.ops.gla import gla_decode_lazy_step
 
         b = x_t.shape[0]
+        use_fused = self.kernel_mode == "chunk_pallas" or (
+            self.kernel_mode == "auto" and jax.default_backend() == "tpu"
+        )
+        if (
+            self.use_short_conv
+            and not self.share_conv_kernel
+            and use_fused
+            and self._conv_fusable()
+        ):
+            return self._step_lazy_conv_fused(x_t, state, p)
         h_t = x_t
         if self.use_short_conv and self.share_conv_kernel:
             h_t, conv_h = self.h_conv1d.step(x_t, state.conv_h)
@@ -483,6 +506,40 @@ class GatedLinearAttention(nn.Module):
         )
         state = state.replace(kbuf=kbuf, vbuf=vbuf, cbuf=cbuf, cc=cc)
         out = self._output(o[:, :, None, :], h_t[:, None, :])[:, 0]
+        return out, state
+
+    def _step_lazy_conv_fused(self, x_t: Array, state: GLAState,
+                              p: Array) -> Tuple[Array, GLAState]:
+        """Lazy decode step via the fused Pallas kernel: ring updates + silu
+        + buffer append + read-only MXU readout in one HBM pass."""
+        from lina_speech_tpu.ops.gla_pallas import gla_decode_lazy_conv_fused
+
+        b = x_t.shape[0]
+        h, dk, dv, w = (self.num_heads, self.head_qk_dim, self.head_v_dim,
+                        self.conv_size)
+        gk = self._raw_gates(x_t)
+        hsplit = lambda z, d: z.reshape(b, h, d)
+        csplit = lambda z, d: z.reshape(w, b, h, d)
+        tsplit = lambda m, d: m.reshape(h, d, w).transpose(2, 0, 1)
+        o, cq, ck, cv, kbuf, vbuf, cbuf, cc = gla_decode_lazy_conv_fused(
+            hsplit(self.q_proj(x_t), dk),
+            hsplit(self.k_proj(x_t), dk),
+            hsplit(self.v_proj(x_t), dv),
+            hsplit(gk, dk),
+            tsplit(self.q_conv1d.kernel.astype(self.dtype), dk),
+            tsplit(self.k_conv1d.kernel.astype(self.dtype), dk),
+            tsplit(self.v_conv1d.kernel.astype(self.dtype), dv),
+            csplit(state.conv_q, dk),
+            csplit(state.conv_k, dk),
+            csplit(state.conv_v, dv),
+            state.s, state.kbuf, state.vbuf, state.cbuf, state.cc, p,
+        )
+        merge = lambda z, d: z.reshape(w, b, h * d)
+        state = state.replace(
+            conv_q=merge(cq, dk), conv_k=merge(ck, dk), conv_v=merge(cv, dv),
+            kbuf=kbuf, vbuf=vbuf, cbuf=cbuf, cc=cc,
+        )
+        out = self._output(o[:, :, None, :], x_t[:, None, :])[:, 0]
         return out, state
 
     def _conv_fusable(self) -> bool:

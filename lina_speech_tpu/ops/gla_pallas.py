@@ -1518,3 +1518,354 @@ def rwkv6_decode_fused(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _rwkv6_decode_partitioned(interpret, donate)(r, k, v, w, u, state)
+
+
+# --------------------------------------------------------------------------
+# Lazy micro-chunk decode kernels (the b64 default path).
+#
+# Between folds the recurrent state is READ-ONLY (ops/gla.py:
+# gla_decode_lazy_step); the XLA lowering of that step runs the S readout as
+# a VPU multiply-reduce at ~620 GB/s effective and scatters the ring/buffer
+# updates over many small fusions (scripts/probe_lazy_readout.py +
+# profile_decode.py, round 3). These kernels fuse, per token:
+#   q/k/v short-conv ring update + silu  (one HBM pass per ring)
+#   window-buffer append at position p   (scalar-prefetched)
+#   readout: (q*exp(cc)) @ S on the MXU  (S consumed bf16, f32 accumulate —
+#                                         no f32 materialization of S)
+#   intra-window corrections             (VPU, (L, dk) per row)
+# and, once per window, the fold: S <- exp(cc) * S + (k*dec)^T v with the
+# rank-L update on the MXU.
+
+
+def _lazy_conv_kernel(p_ref, xq_ref, xk_ref, xv_ref, g_ref,
+                      wq_ref, wk_ref, wv_ref,
+                      cq_ref, ck_ref, cv_ref, s_ref,
+                      kb_ref, vb_ref, cb_ref, cc_ref,
+                      o_ref, cq_out, ck_out, cv_out,
+                      kb_out, vb_out, cb_out, cc_out, *,
+                      scale: float, num_heads: int):
+    blk = xq_ref.shape[0]
+    reps = blk // num_heads
+    L = kb_ref.shape[0]
+    p = p_ref[0]
+
+    def conv(c_ref, x_ref, w_ref, out_ref):
+        new_c = jnp.concatenate([c_ref[1:], x_ref[:][None]], axis=0)
+        out_ref[:] = new_c
+        taps = jnp.tile(w_ref[:], (1, reps, 1))  # (w, blk, d)
+        y = jnp.sum(new_c.astype(jnp.float32) * taps.astype(jnp.float32),
+                    axis=0)
+        y = y.astype(x_ref.dtype).astype(jnp.float32)
+        return y * (1.0 / (1.0 + jnp.exp(-y)))
+
+    q = conv(cq_ref, xq_ref, wq_ref, cq_out) * scale   # (blk, dk) f32
+    k = conv(ck_ref, xk_ref, wk_ref, ck_out)
+    v = conv(cv_ref, xv_ref, wv_ref, cv_out)
+    g = g_ref[:].astype(jnp.float32)
+    cc = cc_ref[:].astype(jnp.float32) + g             # (blk, dk)
+    cc_out[:] = cc
+
+    sel = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0) == p
+    kb = jnp.where(sel, k.astype(kb_ref.dtype)[None], kb_ref[:])
+    vb = jnp.where(sel, v.astype(vb_ref.dtype)[None], vb_ref[:])
+    cb = jnp.where(sel, cc.astype(cb_ref.dtype)[None], cb_ref[:])
+    kb_out[:] = kb
+    vb_out[:] = vb
+    cb_out[:] = cb
+
+    # base readout on the MXU: per-row (1, dk) @ (dk, dv), S stays bf16
+    q_eff = (q * jnp.exp(cc)).astype(s_ref.dtype)      # (blk, dk)
+    outs = []
+    for i in range(blk):
+        outs.append(jax.lax.dot_general(
+            q_eff[i:i + 1], s_ref[i],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))       # (1, dv)
+    o = jnp.concatenate(outs, axis=0)                  # (blk, dv)
+
+    # intra-window corrections: slots j <= p (clamp keeps stale exp args <= 0)
+    live = (jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0) <= p)
+    w = jnp.exp(jnp.minimum(cc[None] - cb.astype(jnp.float32), 0.0))
+    w = jnp.where(live, w, 0.0)                        # (L, blk, dk)
+    a = jnp.sum(q[None] * kb.astype(jnp.float32) * w, axis=2)   # (L, blk)
+    o = o + jnp.sum(a[:, :, None] * vb.astype(jnp.float32), axis=0)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
+                        kbuf, vbuf, cbuf, cc, p, scale, interpret, donate):
+    b, h, dk = xq.shape
+    dv = xv.shape[-1]
+    w = cq.shape[0]
+    L = kbuf.shape[0]
+    bh = b * h
+    pad = (-bh) % _BH_BLK
+    q2, k2, g2 = (x.reshape(bh, dk) for x in (xq, xk, gk))
+    v2 = xv.reshape(bh, dv)
+    cq2, ck2 = cq.reshape(w, bh, dk), ck.reshape(w, bh, dk)
+    cv2 = cv.reshape(w, bh, dv)
+    s2 = state.reshape(bh, dk, dv)
+    kb2, cb2 = kbuf.reshape(L, bh, dk), cbuf.reshape(L, bh, dk)
+    vb2 = vbuf.reshape(L, bh, dv)
+    cc2 = cc.reshape(bh, dk)
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        pzc = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        q2, k2, g2, v2, s2, cc2 = (pz(x) for x in (q2, k2, g2, v2, s2, cc2))
+        cq2, ck2, cv2 = pzc(cq2), pzc(ck2), pzc(cv2)
+        kb2, vb2, cb2 = pzc(kb2), pzc(vb2), pzc(cb2)
+    BH = bh + pad
+
+    kern = functools.partial(_lazy_conv_kernel, scale=scale, num_heads=h)
+    row = lambda i, p_ref: (i, 0)
+    tm = lambda i, p_ref: (0, i, 0)     # (time/window, bh, d) blocks
+    full = lambda i, p_ref: (0, 0, 0)
+    s_ix = lambda i, p_ref: (i, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH // _BH_BLK,),
+        in_specs=[
+            pl.BlockSpec((_BH_BLK, dk), row),
+            pl.BlockSpec((_BH_BLK, dk), row),
+            pl.BlockSpec((_BH_BLK, dv), row),
+            pl.BlockSpec((_BH_BLK, dk), row),
+            pl.BlockSpec((w, h, dk), full),
+            pl.BlockSpec((w, h, dk), full),
+            pl.BlockSpec((w, h, dv), full),
+            pl.BlockSpec((w, _BH_BLK, dk), tm),
+            pl.BlockSpec((w, _BH_BLK, dk), tm),
+            pl.BlockSpec((w, _BH_BLK, dv), tm),
+            pl.BlockSpec((_BH_BLK, dk, dv), s_ix),
+            pl.BlockSpec((L, _BH_BLK, dk), tm),
+            pl.BlockSpec((L, _BH_BLK, dv), tm),
+            pl.BlockSpec((L, _BH_BLK, dk), tm),
+            pl.BlockSpec((_BH_BLK, dk), row),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BH_BLK, dv), row),
+            pl.BlockSpec((w, _BH_BLK, dk), tm),
+            pl.BlockSpec((w, _BH_BLK, dk), tm),
+            pl.BlockSpec((w, _BH_BLK, dv), tm),
+            pl.BlockSpec((L, _BH_BLK, dk), tm),
+            pl.BlockSpec((L, _BH_BLK, dv), tm),
+            pl.BlockSpec((L, _BH_BLK, dk), tm),
+            pl.BlockSpec((_BH_BLK, dk), row),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((BH, dv), xq.dtype),
+        jax.ShapeDtypeStruct((w, BH, dk), cq.dtype),
+        jax.ShapeDtypeStruct((w, BH, dk), ck.dtype),
+        jax.ShapeDtypeStruct((w, BH, dv), cv.dtype),
+        jax.ShapeDtypeStruct((L, BH, dk), kbuf.dtype),
+        jax.ShapeDtypeStruct((L, BH, dv), vbuf.dtype),
+        jax.ShapeDtypeStruct((L, BH, dk), cbuf.dtype),
+        jax.ShapeDtypeStruct((BH, dk), cc.dtype),
+    ]
+    # +1: scalar-prefetch arg shifts input indices
+    aliases = ({8: 1, 9: 2, 10: 3, 12: 4, 13: 5, 14: 6, 15: 7}
+               if donate else {})
+    o, cq_n, ck_n, cv_n, kb_n, vb_n, cb_n, cc_n = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(p, jnp.int32).reshape(1), q2, k2, v2, g2, wq, wk, wv,
+      cq2, ck2, cv2, s2, kb2, vb2, cb2, cc2)
+    unc = lambda x, d: x[:, :bh].reshape(x.shape[0], b, h, d)
+    return (o[:bh].reshape(b, h, dv),
+            unc(cq_n, dk), unc(ck_n, dk), unc(cv_n, dv),
+            unc(kb_n, dk), unc(vb_n, dv), unc(cb_n, dk),
+            cc_n[:bh].reshape(b, h, dk))
+
+
+def _lazy_fold_kernel(s_ref, kb_ref, vb_ref, cb_ref, cc_ref, s_out_ref):
+    cc = cc_ref[:].astype(jnp.float32)                 # (blk, dk)
+    dec = jnp.exp(jnp.minimum(
+        cc[None] - cb_ref[:].astype(jnp.float32), 0.0))  # (L, blk, dk)
+    kdec = kb_ref[:].astype(jnp.float32) * dec
+    vb = vb_ref[:].astype(jnp.float32)                 # (L, blk, dv)
+    blk = cc.shape[0]
+    decay = jnp.exp(cc)
+    outs = []
+    for i in range(blk):
+        upd = jax.lax.dot_general(
+            kdec[:, i, :].T, vb[:, i, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (dk, dv)
+        s_new = decay[i][:, None] * s_ref[i].astype(jnp.float32) + upd
+        outs.append(s_new[None])
+    s_out_ref[:] = jnp.concatenate(outs, axis=0).astype(s_out_ref.dtype)
+
+
+def _gla_lazy_fold_impl(state, kbuf, vbuf, cbuf, cc, interpret, donate):
+    b, h, dk, dv = state.shape
+    L = kbuf.shape[0]
+    bh = b * h
+    pad = (-bh) % _BH_BLK
+    s2 = state.reshape(bh, dk, dv)
+    kb2, cb2 = kbuf.reshape(L, bh, dk), cbuf.reshape(L, bh, dk)
+    vb2 = vbuf.reshape(L, bh, dv)
+    cc2 = cc.reshape(bh, dk)
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        pzc = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        s2, cc2 = pz(s2), pz(cc2)
+        kb2, vb2, cb2 = pzc(kb2), pzc(vb2), pzc(cb2)
+    BH = bh + pad
+
+    row = lambda i: (i, 0)
+    tm = lambda i: (0, i, 0)
+    s_new = pl.pallas_call(
+        _lazy_fold_kernel,
+        grid=(BH // _BH_BLK,),
+        in_specs=[
+            pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
+            pl.BlockSpec((L, _BH_BLK, dk), tm),
+            pl.BlockSpec((L, _BH_BLK, dv), tm),
+            pl.BlockSpec((L, _BH_BLK, dk), tm),
+            pl.BlockSpec((_BH_BLK, dk), row),
+        ],
+        out_specs=pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, dk, dv), state.dtype),
+        input_output_aliases={0: 0} if donate else {},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(s2, kb2, vb2, cb2, cc2)
+    return s_new[:bh].reshape(b, h, dk, dv)
+
+
+@functools.lru_cache(maxsize=None)
+def _gla_lazy_conv_partitioned(scale, interpret, donate):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
+           kbuf, vbuf, cbuf, cc, p):
+        return _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv,
+                                   state, kbuf, vbuf, cbuf, cc, p,
+                                   scale, interpret, donate)
+
+    cp = custom_partitioning(fn)
+
+    def outs_for(mesh, arg_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, ha, None),
+                mk(None, ba, ha, None), mk(None, ba, ha, None),
+                mk(None, ba, ha, None),
+                mk(None, ba, ha, None), mk(None, ba, ha, None),
+                mk(None, ba, ha, None), mk(ba, ha, None))
+
+    def infer(mesh, arg_infos, result_infos):
+        return outs_for(mesh, arg_infos)
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = ((mk(ba, ha, None),) * 4            # xq xk xv gk
+                + (mk(None, ha, None),) * 3        # conv taps
+                + (mk(None, ba, ha, None),) * 3    # rings
+                + (mk(ba, ha, None, None),)        # state
+                + (mk(None, ba, ha, None),) * 3    # kbuf vbuf cbuf
+                + (mk(ba, ha, None),)              # cc
+                + (mk(),))                         # p (replicated scalar)
+        return mesh, fn, outs_for(mesh, arg_infos), args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h k, b h k, b h v, b h k, w h k, w h k, w h v, "
+                      "w b h k, w b h k, w b h v, b h k v, "
+                      "l b h k, l b h v, l b h k, b h k, s "
+                      "-> b h v, w b h k, w b h k, w b h v, "
+                      "l b h k, l b h v, l b h k, b h k",
+        need_replication_factors=("k", "v", "w", "l", "s"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _gla_lazy_fold_partitioned(interpret, donate):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(state, kbuf, vbuf, cbuf, cc):
+        return _gla_lazy_fold_impl(state, kbuf, vbuf, cbuf, cc,
+                                   interpret, donate)
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        return NamedSharding(mesh, P(ba, ha, None, None))
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = (mk(ba, ha, None, None),
+                mk(None, ba, ha, None), mk(None, ba, ha, None),
+                mk(None, ba, ha, None), mk(ba, ha, None))
+        return mesh, fn, mk(ba, ha, None, None), args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h k v, l b h k, l b h v, l b h k, b h k "
+                      "-> b h k v",
+        need_replication_factors=("k", "v", "l"),
+    )
+    return cp
+
+
+def gla_decode_lazy_conv_fused(
+    xq: Array, xk: Array, xv: Array, gk: Array,
+    wq: Array, wk: Array, wv: Array,
+    cq: Array, ck: Array, cv: Array, state: Array,
+    kbuf: Array, vbuf: Array, cbuf: Array, cc: Array, p: Array,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    donate: bool = True,
+):
+    """Fused lazy micro-chunk decode step (contract of
+    ops.gla.gla_decode_lazy_step + the conv rings of gla_decode_conv_fused).
+
+    One HBM pass over every operand; the recurrent state is READ-ONLY and
+    consumed bf16 straight into an MXU readout. Returns
+    (o, cq, ck, cv, kbuf, vbuf, cbuf, cc).
+    """
+    h = xq.shape[1]
+    if _BH_BLK % h:
+        raise ValueError(
+            f"gla_decode_lazy_conv_fused needs num_heads to divide {_BH_BLK}")
+    if scale is None:
+        scale = xq.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p = jnp.asarray(p, jnp.int32).reshape(1)  # rank-1 for the sharding rule
+    return _gla_lazy_conv_partitioned(scale, interpret, donate)(
+        xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state, kbuf, vbuf, cbuf,
+        cc, p)
+
+
+def gla_fold_fused(
+    state: Array, kbuf: Array, vbuf: Array, cbuf: Array, cc: Array,
+    interpret: Optional[bool] = None,
+    donate: bool = True,
+) -> Array:
+    """Fused lazy-window fold (contract of ops.gla.gla_decode_lazy_fold's
+    state update): S <- exp(cc) * S + (k*dec)^T v, rank-L update on the MXU,
+    one state read + one write. Returns the new state only (buffers are
+    zeroed by the caller)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _gla_lazy_fold_partitioned(interpret, donate)(
+        state, kbuf, vbuf, cbuf, cc)

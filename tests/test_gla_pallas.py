@@ -364,3 +364,122 @@ def test_conv_fused_chunk_shards_over_batch_and_heads():
     for a, b in zip(g_s, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------- lazy fused path
+def _lazy_ref_window(args, L):
+    """Oracle: XLA conv steps + gla_decode_lazy_step + gla_decode_lazy_fold
+    over one full window of fresh tokens."""
+    from lina_speech_tpu.ops.gla import (
+        gla_decode_lazy_fold, gla_decode_lazy_step,
+    )
+    from lina_speech_tpu.ops.short_conv import short_conv_step
+
+    xqs, xks, xvs, gks, wq, wk, wv, cq, ck, cv, state = args
+    b, h, dk = xqs[0].shape
+    dv = xvs[0].shape[-1]
+    w = cq.shape[0]
+    mrg = lambda z, d: (z.reshape(z.shape[0], b, h * d) if z.ndim == 4
+                        else z.reshape(b, h * d))
+    taps = lambda m, d: m.transpose(1, 2, 0).reshape(h * d, w)
+    bufdt = xqs[0].dtype
+    kbuf = jnp.zeros((L, b, h, dk), bufdt)
+    vbuf = jnp.zeros((L, b, h, dv), bufdt)
+    cbuf = jnp.zeros((L, b, h, dk), jnp.float32)
+    cc = jnp.zeros((b, h, dk), jnp.float32)
+    cq2, ck2, cv2 = mrg(cq, dk), mrg(ck, dk), mrg(cv, dv)
+    os = []
+    for p in range(L):
+        q, cq2 = short_conv_step(mrg(xqs[p], dk), cq2, taps(wq, dk))
+        k, ck2 = short_conv_step(mrg(xks[p], dk), ck2, taps(wk, dk))
+        v, cv2 = short_conv_step(mrg(xvs[p], dv), cv2, taps(wv, dv))
+        o, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step(
+            q.reshape(b, h, dk), k.reshape(b, h, dk), v.reshape(b, h, dv),
+            gks[p], state, kbuf, vbuf, cbuf, cc, jnp.int32(p))
+        os.append(o)
+    s, *_ = gla_decode_lazy_fold(state, kbuf, vbuf, cbuf, cc)
+    return os, s
+
+
+def _lazy_inputs(key, b=2, h=2, dk=16, dv=32, w=4, L=4, dtype=jnp.float32):
+    ks = jax.random.split(key, 12)
+    n = lambda i, *s: jax.random.normal(ks[i], s, dtype)
+    xqs = [n(0, b, h, dk) * (i + 1) * 0.3 for i in range(L)]
+    xks = [n(1, b, h, dk) * (L - i) * 0.3 for i in range(L)]
+    xvs = [n(2, b, h, dv) for _ in range(L)]
+    gks = [-jnp.abs(n(3, b, h, dk)) * 0.1 for _ in range(L)]
+    wq, wk = n(4, w, h, dk) * 0.5, n(5, w, h, dk) * 0.5
+    wv = n(6, w, h, dv) * 0.5
+    cq, ck = n(7, w, b, h, dk), n(8, w, b, h, dk)
+    cv = n(9, w, b, h, dv)
+    state = jax.random.normal(ks[10], (b, h, dk, dv)).astype(jnp.bfloat16)
+    return xqs, xks, xvs, gks, wq, wk, wv, cq, ck, cv, state
+
+
+@pytest.mark.parametrize("L", [4, 8])
+def test_lazy_conv_fused_window_matches_reference(L):
+    from lina_speech_tpu.ops.gla_pallas import (
+        gla_decode_lazy_conv_fused, gla_fold_fused,
+    )
+
+    args = _lazy_inputs(jax.random.PRNGKey(5), L=L)
+    ref_os, ref_s = _lazy_ref_window(args, L)
+
+    xqs, xks, xvs, gks, wq, wk, wv, cq, ck, cv, state = args
+    b, h, dk = xqs[0].shape
+    dv = xvs[0].shape[-1]
+    kbuf = jnp.zeros((L, b, h, dk), xqs[0].dtype)
+    vbuf = jnp.zeros((L, b, h, dv), xqs[0].dtype)
+    cbuf = jnp.zeros((L, b, h, dk), jnp.float32)
+    cc = jnp.zeros((b, h, dk), jnp.float32)
+    for p in range(L):
+        o, cq, ck, cv, kbuf, vbuf, cbuf, cc = gla_decode_lazy_conv_fused(
+            xqs[p], xks[p], xvs[p], gks[p], wq, wk, wv, cq, ck, cv,
+            state, kbuf, vbuf, cbuf, cc, jnp.int32(p),
+            interpret=True, donate=False)
+        # bf16 state readout on the MXU vs f32 VPU oracle: bf16-level tol
+        np.testing.assert_allclose(np.asarray(o, np.float32),
+                                   np.asarray(ref_os[p], np.float32),
+                                   rtol=2e-2, atol=2e-2)
+    s = gla_fold_fused(state, kbuf, vbuf, cbuf, cc, interpret=True,
+                       donate=False)
+    np.testing.assert_allclose(np.asarray(s, np.float32),
+                               np.asarray(ref_s, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_lazy_conv_fused_shards_over_batch_and_heads():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from lina_speech_tpu.ops.gla_pallas import (
+        gla_decode_lazy_conv_fused, gla_fold_fused,
+    )
+
+    L = 4
+    args = _lazy_inputs(jax.random.PRNGKey(7), b=4, h=2, L=L)
+    xqs, xks, xvs, gks, wq, wk, wv, cq, ck, cv, state = args
+    b, h, dk = xqs[0].shape
+    dv = xvs[0].shape[-1]
+    kbuf = jnp.zeros((L, b, h, dk), xqs[0].dtype)
+    vbuf = jnp.zeros((L, b, h, dv), xqs[0].dtype)
+    cbuf = jnp.zeros((L, b, h, dk), jnp.float32)
+    cc = jnp.zeros((b, h, dk), jnp.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    row = NamedSharding(mesh, P("dp", "tp", None))
+    tm = NamedSharding(mesh, P(None, "dp", "tp", None))
+    tap = NamedSharding(mesh, P(None, "tp", None))
+    st = NamedSharding(mesh, P("dp", "tp", None, None))
+    put = jax.device_put
+    f = jax.jit(lambda *a: gla_decode_lazy_conv_fused(
+        *a, interpret=True, donate=False))
+    o, cq2, ck2, cv2, kb2, vb2, cb2, cc2 = f(
+        put(xqs[0], row), put(xks[0], row), put(xvs[0], row),
+        put(gks[0], row), put(wq, tap), put(wk, tap), put(wv, tap),
+        put(cq, tm), put(ck, tm), put(cv, tm), put(state, st),
+        put(kbuf, tm), put(vbuf, tm), put(cbuf, tm), put(cc, row),
+        jnp.int32(0))
+    assert o.sharding.is_equivalent_to(row, 3)
+    g = jax.jit(lambda *a: gla_fold_fused(*a, interpret=True, donate=False))
+    s = g(put(state, st), put(kb2, tm), put(vb2, tm), put(cb2, tm),
+          put(cc2, row))
+    assert s.sharding.is_equivalent_to(st, 4)
