@@ -92,6 +92,38 @@ def _bench_train(cfg, batch: int, seqlen: int, text_len: int, steps: int,
     return batch * seqlen * steps / dt, dt / steps
 
 
+def _bench_codec_gan(batch: int, crop_len: int, steps: int) -> float:
+    """Mean disc+gen step time (ms) for the real WavTokenizer GAN config."""
+    from lina_speech_tpu.codec.discriminators import (
+        MultiPeriodDiscriminator, MultiResolutionDiscriminator,
+    )
+    from lina_speech_tpu.codec.gan import (
+        CodecGanConfig, create_codec_gan, make_codec_gan_steps,
+    )
+    from lina_speech_tpu.codec.wavtokenizer import WavTokenizer, WavTokenizerConfig
+
+    wavtok = WavTokenizer(WavTokenizerConfig())
+    mpd = MultiPeriodDiscriminator()
+    mrd = MultiResolutionDiscriminator()
+    gan_cfg = CodecGanConfig()
+    audio = jax.random.normal(jax.random.PRNGKey(0), (batch, crop_len)) * 0.1
+    state, gen_tx, disc_tx = create_codec_gan(
+        jax.random.PRNGKey(1), wavtok, mpd, mrd, audio, gan_cfg)
+    disc_step, gen_step = make_codec_gan_steps(
+        wavtok, mpd, mrd, gen_tx, disc_tx, gan_cfg)
+
+    for _ in range(2):  # compile + warmup
+        state, dm = disc_step(state, audio)
+        state, gm = gen_step(state, audio)
+        float(gm["gen_loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, dm = disc_step(state, audio)
+        state, gm = gen_step(state, audio)
+    float(gm["gen_loss"])
+    return (time.perf_counter() - t0) / steps * 1e3
+
+
 def main():
     # persistent compile cache: the remote-TPU compile path is slow; cache
     # compiled executables across runs
@@ -195,6 +227,24 @@ def main():
             "vs_baseline": round(train_tok_s / 28240.0, 3),
             "detail": {"batch": tb, "seqlen": tl, "accum": ta,
                        "ms_per_step": round(step_s * 1e3, 1)},
+        })
+
+    if os.environ.get("BENCH_CODEC", "1") == "1":
+        # codec-GAN training axis on hardware (VERDICT r2 #4): real
+        # WavTokenizer config (ratios [8,5,4,2], dim-512 ConvNeXt
+        # backbone), disc+gen step pair on 24k-sample crops
+        cb = int(os.environ.get("BENCH_CODEC_BATCH", "8"))
+        cl = int(os.environ.get("BENCH_CODEC_LEN", "24000"))
+        cs = int(os.environ.get("BENCH_CODEC_STEPS", "8"))
+        gan_ms = _bench_codec_gan(cb, cl, cs)
+        extra.append({
+            "metric": "codec_gan_step_ms",
+            "value": round(gan_ms, 1),
+            "unit": "ms_per_step",
+            # reference trains WavTokenizer on GPUs; no published step time
+            # — baseline is our own first hardware measurement (BASELINE.md)
+            "vs_baseline": None,
+            "detail": {"batch": cb, "crop_len": cl},
         })
 
     print(

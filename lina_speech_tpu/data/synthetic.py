@@ -29,6 +29,7 @@ def synthetic_tts_batches(
     tokenizer: Optional[TextTokenizer] = None,
     pad_to_multiple: int = 64,
     structured: bool = False,
+    speaker: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Endless iterator of collated batches.
 
@@ -37,6 +38,10 @@ def synthetic_tts_batches(
     deterministic function of the text (each text token maps to a cycle of
     3 codes, read via cross-attention), so training loss actually
     converges — use for end-to-end learning validation on hardware.
+    ``speaker`` shifts the structured text->code mapping by a constant
+    (speaker * 977 mod n_codebook): a stand-in for speaker identity that a
+    tuned initial state S0 can absorb (initial-state tuning end-to-end
+    validation; reference initial_state.py:85-160).
     """
     rng = np.random.default_rng(seed)
     tokenizer = tokenizer or TextTokenizer()
@@ -52,7 +57,7 @@ def synthetic_tts_batches(
                 src = ids[(pos // 3) % len(ids)]
                 q = np.arange(n_quant)[:, None]
                 audio = (src[None, :] * 131 + pos[None, :] % 3 * 47
-                         + q * 29) % n_codebook
+                         + q * 29 + speaker * 977) % n_codebook
             else:
                 audio = rng.integers(0, n_codebook, (n_quant, n))
             items.append({"audio_token": audio, "text": text})

@@ -67,7 +67,7 @@ def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
     static_argnames=(
         "model", "max_seqlen", "k", "first_greedy_quant", "temp",
         "force_max_seqlen", "return_att", "reference_compat_sampling",
-        "approx_topk", "lazy_window", "weight_quant",
+        "approx_topk", "lazy_window", "weight_quant", "quant_min_size",
     ),
 )
 def generate_batch(
@@ -87,6 +87,7 @@ def generate_batch(
     approx_topk: bool = False,
     lazy_window: int = 0,
     weight_quant: Optional[str] = None,
+    quant_min_size: int = 1 << 16,
 ) -> GenerateResult:
     """Generate codec tokens for a batch.
 
@@ -101,12 +102,14 @@ def generate_batch(
             cost at 4099 logits, so the perf benches enable this. Default
             False: sampling is exact unless asked (greedy k=1 and
             reference-compat paths are always exact either way).
-        weight_quant: "int8" stores the large matrices int8 + per-channel
+        weight_quant: "int8" stores the Dense kernels int8 + per-channel
             scales for the TOKEN LOOP only (prefill / text encoding stay
-            full precision); dequant is traced inside the loop so XLA
-            streams int8 from HBM — b1 decode is weights-read-bound, so
-            this raises its bandwidth roofline ~2x. Opt-in quality knob
-            (utils/quantize.py).
+            full precision); QDense routes them through the native int8
+            Pallas GEMV (ops/qlinear.py), streaming int8 from HBM — b1
+            decode is weights-read-bound, so this raises its bandwidth
+            roofline ~2x. Opt-in quality knob.
+        quant_min_size: minimum element count for a kernel to be
+            quantized (tests lower it so tiny configs qualify).
         lazy_window: > 0 enables lazy micro-chunk decode with that window
             size L (GLA backbones only): recurrent states become READ-ONLY
             between folds, token contributions ride small (L, ...) buffers,
@@ -136,14 +139,13 @@ def generate_batch(
         )
 
     if weight_quant == "int8":
-        from lina_speech_tpu.utils.quantize import (
-            dequantize_params, quantize_params,
-        )
+        from lina_speech_tpu.utils.quantize import quantize_dense_params
 
-        params_q = quantize_params(params)
-        # invoked inside the traced loop body: the dequant stays in-loop
-        # (not hoisted/materialized — measured, scripts/probe_int8_gemv.py)
-        loop_params = lambda: dequantize_params(params_q, cdt)
+        # Dense kernels become {int8_q, int8_s} pairs *in the tree*; QDense
+        # (ops/qlinear.py) streams them through the native int8 Pallas GEMV.
+        # No traced dequant, no bf16 weight materialization.
+        params_q = quantize_dense_params(params, min_size=quant_min_size)
+        loop_params = lambda: params_q
     elif weight_quant is not None:
         raise ValueError(f"unknown weight_quant {weight_quant!r}")
     else:

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
+from lina_speech_tpu.ops.qlinear import QDense
 import jax.numpy as jnp
 
 from lina_speech_tpu.ops.rotary import apply_rotary
@@ -52,9 +53,9 @@ class SwiGLU(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         hidden = self.d_model * 4 // 3
-        gx = nn.Dense(hidden * 2, dtype=self.dtype, name="p_in")(x)
+        gx = QDense(hidden * 2, dtype=self.dtype, name="p_in")(x)
         gate, h = jnp.split(gx, 2, axis=-1)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="p_out")(nn.silu(gate) * h)
+        return QDense(self.d_model, dtype=self.dtype, name="p_out")(nn.silu(gate) * h)
 
 
 class SelfAttention(nn.Module):
@@ -82,7 +83,7 @@ class SelfAttention(nn.Module):
     ):
         b, n, _ = x.shape
         d_head = self.dim // self.heads
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = QDense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(b, n, self.heads, d_head).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)

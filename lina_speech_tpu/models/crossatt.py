@@ -22,6 +22,7 @@ import math
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+from lina_speech_tpu.ops.qlinear import QDense
 import jax
 import jax.numpy as jnp
 
@@ -84,9 +85,9 @@ class CrossAttention(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.q = nn.Dense(self.att_dim, dtype=self.dtype)
-        self.k = nn.Dense(self.att_dim, dtype=self.dtype)
-        self.v = nn.Dense(self.att_dim, dtype=self.dtype)
+        self.q = QDense(self.att_dim, dtype=self.dtype)
+        self.k = QDense(self.att_dim, dtype=self.dtype)
+        self.v = QDense(self.att_dim, dtype=self.dtype)
         self.ln_q = nn.LayerNorm(epsilon=1e-5)
         self.ln_k = nn.LayerNorm(epsilon=1e-5)
         self.ln_v = nn.LayerNorm(epsilon=1e-5)
@@ -145,9 +146,9 @@ class BlindCrossAttention(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.q = nn.Dense(self.att_dim, dtype=self.dtype)
-        self.k = nn.Dense(self.att_dim, dtype=self.dtype)
-        self.v = nn.Dense(self.att_dim, dtype=self.dtype)
+        self.q = QDense(self.att_dim, dtype=self.dtype)
+        self.k = QDense(self.att_dim, dtype=self.dtype)
+        self.v = QDense(self.att_dim, dtype=self.dtype)
         self.ln_q = nn.LayerNorm(epsilon=1e-5)
         self.ln_k = nn.LayerNorm(epsilon=1e-5)
         self.ln_v = nn.LayerNorm(epsilon=1e-5)

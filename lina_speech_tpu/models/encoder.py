@@ -4,6 +4,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+from lina_speech_tpu.ops.qlinear import QDense
 import jax.numpy as jnp
 
 from lina_speech_tpu.models.base_blocks import MixingBlock, SelfAttention, SwiGLU
@@ -71,8 +72,8 @@ class SimpleSpeakerEncoder(nn.Module):
             )
             for _ in range(self.n_layers)
         ]
-        self.in_proj = nn.Dense(self.dim_inner, dtype=self.dtype)
-        self.out_proj = nn.Dense(self.dim, dtype=self.dtype)
+        self.in_proj = QDense(self.dim_inner, dtype=self.dtype)
+        self.out_proj = QDense(self.dim, dtype=self.dtype)
 
     def __call__(self, x: Array, window_start: int = 0, deterministic: bool = True) -> Array:
         import jax

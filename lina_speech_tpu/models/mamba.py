@@ -18,6 +18,7 @@ import math
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+from lina_speech_tpu.ops.qlinear import QDense
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -67,7 +68,7 @@ class MambaMixer(nn.Module):
         return self.dt_rank or math.ceil(self.d_model / 16)
 
     def setup(self):
-        self.in_proj = nn.Dense(2 * self.d_inner, use_bias=False, dtype=self.dtype)
+        self.in_proj = QDense(2 * self.d_inner, use_bias=False, dtype=self.dtype)
         self.conv_kernel = self.param(
             "conv_kernel", nn.initializers.lecun_normal(), (self.d_inner, self.d_conv),
             jnp.float32,
@@ -75,9 +76,9 @@ class MambaMixer(nn.Module):
         self.conv_bias = self.param(
             "conv_bias", nn.initializers.zeros, (self.d_inner,), jnp.float32
         )
-        self.x_proj = nn.Dense(self._dt_rank + 2 * self.d_state, use_bias=False,
+        self.x_proj = QDense(self._dt_rank + 2 * self.d_state, use_bias=False,
                                dtype=self.dtype)
-        self.dt_proj = nn.Dense(self.d_inner, use_bias=True, dtype=self.dtype)
+        self.dt_proj = QDense(self.d_inner, use_bias=True, dtype=self.dtype)
         # S4D-real init: A_n = -(n+1)
         self.A_log = self.param(
             "A_log",
@@ -86,7 +87,7 @@ class MambaMixer(nn.Module):
             (self.d_inner, self.d_state),
         )
         self.D = self.param("D", nn.initializers.ones, (self.d_inner,), jnp.float32)
-        self.out_proj = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)
+        self.out_proj = QDense(self.d_model, use_bias=False, dtype=self.dtype)
 
     def _ssm_inputs(self, x_conv: Array):
         dbc = self.x_proj(x_conv)
@@ -180,7 +181,7 @@ class Mamba2Mixer(nn.Module):
     def setup(self):
         d_in = self.d_inner
         conv_dim = d_in + 2 * self.d_state
-        self.in_proj = nn.Dense(2 * d_in + 2 * self.d_state + self.n_heads,
+        self.in_proj = QDense(2 * d_in + 2 * self.d_state + self.n_heads,
                                 use_bias=False, dtype=self.dtype)
         self.conv_kernel = self.param(
             "conv_kernel", nn.initializers.lecun_normal(), (conv_dim, self.d_conv),
@@ -195,7 +196,7 @@ class Mamba2Mixer(nn.Module):
         self.dt_bias = self.param("dt_bias", nn.initializers.zeros, (self.n_heads,))
         self.D = self.param("D", nn.initializers.ones, (self.n_heads,))
         self.norm_weight = self.param("norm_weight", nn.initializers.ones, (d_in,))
-        self.out_proj = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)
+        self.out_proj = QDense(self.d_model, use_bias=False, dtype=self.dtype)
 
     def _split_proj(self, zxbcdt: Array):
         d_in, n = self.d_inner, self.d_state

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
+from lina_speech_tpu.ops.qlinear import QDense
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -72,7 +73,7 @@ class RWKV6Attention(nn.Module):
         self.maa_w1 = self.param("maa_w1", init_small, (d, 5 * self.proj_low_rank_dim), jnp.float32)
         self.maa_w2 = self.param("maa_w2", init_small, (5, self.proj_low_rank_dim, d), jnp.float32)
 
-        dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype, name=name)
+        dense = lambda f, name: QDense(f, use_bias=False, dtype=self.dtype, name=name)
         self.r_proj = dense(self.key_dim, "r_proj")
         self.k_proj = dense(self.key_dim, "k_proj")
         self.v_proj = dense(self.value_dim, "v_proj")

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+from lina_speech_tpu.ops.qlinear import QDense
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,7 @@ class CausalSelfAttention(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.qkv = nn.Dense(3 * self.dim, dtype=self.dtype)
+        self.qkv = QDense(3 * self.dim, dtype=self.dtype)
 
     def _split(self, x, b, n):
         d_head = self.dim // self.heads

@@ -1565,23 +1565,25 @@ def _lazy_conv_kernel(p_ref, xq_ref, xk_ref, xv_ref, g_ref,
     cc = cc_ref[:].astype(jnp.float32) + g             # (blk, dk)
     cc_out[:] = cc
 
+    # append slot p: outputs are (1, blk, d) blocks DMA'd to row p only
+    # (the buffers alias in->out, so rows != p stay in place in HBM; a
+    # full-buffer rewrite cost ~7 MB/layer/token of write DMA — measured)
     sel = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0) == p
     kb = jnp.where(sel, k.astype(kb_ref.dtype)[None], kb_ref[:])
     vb = jnp.where(sel, v.astype(vb_ref.dtype)[None], vb_ref[:])
     cb = jnp.where(sel, cc.astype(cb_ref.dtype)[None], cb_ref[:])
-    kb_out[:] = kb
-    vb_out[:] = vb
-    cb_out[:] = cb
+    kb_out[:] = k.astype(kb_out.dtype)[None]
+    vb_out[:] = v.astype(vb_out.dtype)[None]
+    cb_out[:] = cc.astype(cb_out.dtype)[None]
 
-    # base readout on the MXU: per-row (1, dk) @ (dk, dv), S stays bf16
+    # base readout on the MXU: one batched (blk, 1, dk) @ (blk, dk, dv)
+    # dot (a per-row Python loop of (1, dk) dots measured 131 us/layer vs
+    # the 89 us block roofline — Mosaic serializes the tiny ops)
     q_eff = (q * jnp.exp(cc)).astype(s_ref.dtype)      # (blk, dk)
-    outs = []
-    for i in range(blk):
-        outs.append(jax.lax.dot_general(
-            q_eff[i:i + 1], s_ref[i],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))       # (1, dv)
-    o = jnp.concatenate(outs, axis=0)                  # (blk, dv)
+    o = jax.lax.dot_general(
+        q_eff[:, None, :], s_ref[:],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0]      # (blk, dv)
 
     # intra-window corrections: slots j <= p (clamp keeps stale exp args <= 0)
     live = (jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0) <= p)
@@ -1646,9 +1648,11 @@ def _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
             pl.BlockSpec((w, _BH_BLK, dk), tm),
             pl.BlockSpec((w, _BH_BLK, dk), tm),
             pl.BlockSpec((w, _BH_BLK, dv), tm),
-            pl.BlockSpec((L, _BH_BLK, dk), tm),
-            pl.BlockSpec((L, _BH_BLK, dv), tm),
-            pl.BlockSpec((L, _BH_BLK, dk), tm),
+            # window buffers: write ONLY slot p (scalar-prefetch index);
+            # rows != p stay in place via the in->out aliasing
+            pl.BlockSpec((1, _BH_BLK, dk), lambda i, p_ref: (p_ref[0], i, 0)),
+            pl.BlockSpec((1, _BH_BLK, dv), lambda i, p_ref: (p_ref[0], i, 0)),
+            pl.BlockSpec((1, _BH_BLK, dk), lambda i, p_ref: (p_ref[0], i, 0)),
             pl.BlockSpec((_BH_BLK, dk), row),
         ],
     )
@@ -1662,9 +1666,14 @@ def _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
         jax.ShapeDtypeStruct((L, BH, dk), cbuf.dtype),
         jax.ShapeDtypeStruct((BH, dk), cc.dtype),
     ]
-    # +1: scalar-prefetch arg shifts input indices
-    aliases = ({8: 1, 9: 2, 10: 3, 12: 4, 13: 5, 14: 6, 15: 7}
-               if donate else {})
+    # +1: scalar-prefetch arg shifts input indices. Window-buffer aliasing
+    # (12->4, 13->5, 14->6) is MANDATORY: the kernel writes only slot p of
+    # each buffer, the other rows must be the input's (XLA inserts a copy
+    # if the caller keeps the input alive — donation makes it true
+    # in-place).
+    aliases = {12: 4, 13: 5, 14: 6}
+    if donate:
+        aliases.update({8: 1, 9: 2, 10: 3, 15: 7})
     o, cq_n, ck_n, cv_n, kb_n, vb_n, cb_n, cc_n = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1687,26 +1696,28 @@ def _lazy_fold_kernel(s_ref, kb_ref, vb_ref, cb_ref, cc_ref, s_out_ref):
     cc = cc_ref[:].astype(jnp.float32)                 # (blk, dk)
     dec = jnp.exp(jnp.minimum(
         cc[None] - cb_ref[:].astype(jnp.float32), 0.0))  # (L, blk, dk)
-    kdec = kb_ref[:].astype(jnp.float32) * dec
-    vb = vb_ref[:].astype(jnp.float32)                 # (L, blk, dv)
-    blk = cc.shape[0]
+    kdec = (kb_ref[:].astype(jnp.float32) * dec).astype(jnp.bfloat16)
+    vb = vb_ref[:]                                     # (L, blk, dv) bf16
     decay = jnp.exp(cc)
-    outs = []
-    for i in range(blk):
-        upd = jax.lax.dot_general(
-            kdec[:, i, :].T, vb[:, i, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (dk, dv)
-        s_new = decay[i][:, None] * s_ref[i].astype(jnp.float32) + upd
-        outs.append(s_new[None])
-    s_out_ref[:] = jnp.concatenate(outs, axis=0).astype(s_out_ref.dtype)
+    # batched rank-L update on the MXU: (blk, dk, L) @ (blk, L, dv)
+    # (a per-row Python loop measured 422 us/layer-fold vs the 164 us
+    # S-read+write floor)
+    upd = jax.lax.dot_general(
+        kdec.transpose(1, 2, 0), vb.transpose(1, 0, 2),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (blk, dk, dv)
+    s_new = decay[:, :, None] * s_ref[:].astype(jnp.float32) + upd
+    s_out_ref[:] = s_new.astype(s_out_ref.dtype)
+
+
+_FOLD_BLK = int(__import__("os").environ.get("GLA_FOLD_BLK", "8"))
 
 
 def _gla_lazy_fold_impl(state, kbuf, vbuf, cbuf, cc, interpret, donate):
     b, h, dk, dv = state.shape
     L = kbuf.shape[0]
     bh = b * h
-    pad = (-bh) % _BH_BLK
+    pad = (-bh) % _FOLD_BLK
     s2 = state.reshape(bh, dk, dv)
     kb2, cb2 = kbuf.reshape(L, bh, dk), cbuf.reshape(L, bh, dk)
     vb2 = vbuf.reshape(L, bh, dv)
@@ -1722,19 +1733,20 @@ def _gla_lazy_fold_impl(state, kbuf, vbuf, cbuf, cc, interpret, donate):
     tm = lambda i: (0, i, 0)
     s_new = pl.pallas_call(
         _lazy_fold_kernel,
-        grid=(BH // _BH_BLK,),
+        grid=(BH // _FOLD_BLK,),
         in_specs=[
-            pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
-            pl.BlockSpec((L, _BH_BLK, dk), tm),
-            pl.BlockSpec((L, _BH_BLK, dv), tm),
-            pl.BlockSpec((L, _BH_BLK, dk), tm),
-            pl.BlockSpec((_BH_BLK, dk), row),
+            pl.BlockSpec((_FOLD_BLK, dk, dv), lambda i: (i, 0, 0)),
+            pl.BlockSpec((L, _FOLD_BLK, dk), tm),
+            pl.BlockSpec((L, _FOLD_BLK, dv), tm),
+            pl.BlockSpec((L, _FOLD_BLK, dk), tm),
+            pl.BlockSpec((_FOLD_BLK, dk), row),
         ],
-        out_specs=pl.BlockSpec((_BH_BLK, dk, dv), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((_FOLD_BLK, dk, dv), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, dk, dv), state.dtype),
         input_output_aliases={0: 0} if donate else {},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(s2, kb2, vb2, cb2, cc2)

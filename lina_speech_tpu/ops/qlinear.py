@@ -1,0 +1,221 @@
+"""Native int8 weight-streaming linear for the decode loop.
+
+Batch-1 decode is weights-read-bound (BASELINE.md: 718 MB/token bf16 at
+~819 GB/s). Round 2 streamed int8 weights by tracing ``q.astype(bf16)*s``
+into the loop and letting XLA fuse the dequant into the GEMV; that
+captured +13% of a ~2x promise — the dequant rides the same fusion as the
+reduction and stalls it. This kernel makes the int8 stream explicit:
+
+  * the weight tile is DMA'd to VMEM as int8 (half the HBM bytes — the
+    only traffic that matters at b1),
+  * converted int8->bf16 *in VMEM* (VPU, ~0.05 ms for the whole model —
+    fully overlapped with the next tile's DMA by the Pallas pipeline),
+  * contracted on the MXU with f32 accumulation,
+  * per-output-channel scales applied in the epilogue.
+
+Modes:
+  * ``wonly``  — weight-only int8 (default; same numerics class as the
+    round-2 path: bf16 activations, f32 accumulate, exact scales).
+  * ``w8a8``   — additionally quantizes activations per row (dynamic,
+    symmetric) and contracts int8 x int8 -> int32 natively on the MXU;
+    zero convert work on the weight bytes. Opt-in quality knob.
+
+:class:`QDense` is a drop-in ``nn.Dense`` (identical param names, shapes
+and init) whose kernel leaf may be *replaced in the params tree* by the
+``{int8_q, int8_s}`` pair from :mod:`lina_speech_tpu.utils.quantize`; it
+then routes through this kernel. Reference parity: the reference has no
+quantized path at all — this is a capability beyond
+`/root/reference/model/modeling_lina.py` decode.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from lina_speech_tpu.utils.quantize import QKEY, SKEY
+
+Array = jnp.ndarray
+
+
+def is_quantized_leaf(node) -> bool:
+    return isinstance(node, dict) and QKEY in node
+
+
+# ------------------------------------------------------------------ kernel
+def _qlin_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    """One (M, K) x (K, BN) tile: int8 W converted in VMEM, MXU contract."""
+    w = w_ref[:].astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(out_dtype)
+
+
+def _qlin_kernel_i8(x_ref, w_ref, s_ref, sx_ref, o_ref, *, out_dtype):
+    """w8a8 tile: int8 x int8 -> int32 on the MXU, rescale epilogue."""
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scale = sx_ref[:].astype(jnp.float32) * s_ref[:].astype(jnp.float32)
+    o_ref[:] = (acc.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+def _block_n(n: int) -> int:
+    for bn in (512, 256, 128):
+        if n % bn == 0 or n > bn:
+            return min(bn, n)
+    return n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "mode", "interpret"),
+)
+def _int8_linear_2d(
+    x: Array, q: Array, s: Array, out_dtype, mode: str, interpret: bool
+) -> Array:
+    m, k = x.shape
+    _, n = q.shape
+    bn = _block_n(n)
+    grid = (pl.cdiv(n, bn),)
+    s2 = s.reshape(1, n).astype(jnp.float32)
+
+    if mode == "w8a8":
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-12)
+        sx = sx / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        return pl.pallas_call(
+            functools.partial(_qlin_kernel_i8, out_dtype=out_dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m, k), lambda i: (0, 0)),
+                pl.BlockSpec((k, bn), lambda i: (0, i)),
+                pl.BlockSpec((1, bn), lambda i: (0, i)),
+                pl.BlockSpec((m, 1), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((m, bn), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+            interpret=interpret,
+        )(xq, q, s2, sx)
+
+    return pl.pallas_call(
+        functools.partial(_qlin_kernel, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i: (0, 0)),
+            pl.BlockSpec((k, bn), lambda i: (0, i)),
+            pl.BlockSpec((1, bn), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), q, s2)
+
+
+def int8_linear(
+    x: Array,
+    q: Array,
+    s: Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    mode: str = "wonly",
+    interpret: Optional[bool] = None,
+) -> Array:
+    """``x @ dequant(q, s)`` with the int8 representation streamed from HBM.
+
+    Args:
+        x: (..., K) activations (any float dtype).
+        q: (K, N) int8 weights.
+        s: per-output-channel scales, broadcastable to (1, N).
+        mode: "wonly" (bf16 MXU, exact scales) or "w8a8" (dynamic per-row
+            activation quant, int8 MXU).
+    Returns (..., N) in ``out_dtype``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    out = _int8_linear_2d(x2, q, s.reshape(-1), out_dtype, mode, interpret)
+    return out.reshape(*lead, q.shape[1])
+
+
+def int8_linear_ref(x, q, s, *, out_dtype=jnp.bfloat16, mode="wonly"):
+    """XLA oracle used by tests and non-TPU fallbacks (same math)."""
+    s2 = s.reshape(1, -1).astype(jnp.float32)
+    if mode == "w8a8":
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+        sx = sx / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * sx * s2).astype(out_dtype)
+    acc = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (acc * s2).astype(out_dtype)
+
+
+# ------------------------------------------------------------- flax module
+class QDense(nn.Module):
+    """Drop-in ``nn.Dense``: same param names ("kernel"/"bias"), shapes and
+    initializers, so checkpoints and init trees are unchanged. If the
+    kernel leaf in the params tree has been replaced by the
+    ``{int8_q, int8_s}`` pair (utils/quantize.py), the matmul streams int8
+    through :func:`int8_linear`; otherwise it is exactly ``nn.Dense``.
+
+    The quantized swap happens *in the tree* (generate.py decode loop), so
+    training / prefill / non-quantized paths pay zero overhead.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    quant_mode: str = "wonly"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,),
+                       self.param_dtype)
+            if self.use_bias else None
+        )
+        if is_quantized_leaf(kernel):
+            out_dtype = self.dtype or jnp.bfloat16
+            if jax.default_backend() == "cpu":
+                y = int8_linear_ref(x, kernel[QKEY], kernel[SKEY],
+                                    out_dtype=out_dtype, mode=self.quant_mode)
+            else:
+                y = int8_linear(x, kernel[QKEY], kernel[SKEY],
+                                out_dtype=out_dtype, mode=self.quant_mode)
+            if bias is not None:
+                y = y + jnp.asarray(bias, out_dtype)
+            return y
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        y = jax.lax.dot_general(
+            x, kernel, (((x.ndim - 1,), (0,)), ((), ())),
+        )
+        if bias is not None:
+            y = y + bias
+        return y

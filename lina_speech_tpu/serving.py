@@ -32,7 +32,7 @@ run would — sinusoidal positions are exactly padding-invariant.
 
 ``weight_quant="int8"`` keeps ONLY the quantized tree resident (~2x less
 HBM than params + quantized copy); every program takes it as a traced
-argument and dequantizes in-trace, so XLA streams int8 weights from HBM
+argument and QDense streams the int8 Dense kernels natively from HBM
 in the decode loop (the b1 bandwidth win) and nothing is baked into the
 executable as a constant.
 """
@@ -112,6 +112,7 @@ class DecodeServer:
         first_greedy_quant: int = 1,
         seed: int = 0,
         weight_quant: Optional[str] = None,
+        quant_min_size: int = 1 << 16,
         approx_topk: bool = False,
     ):
         self.model = model
@@ -136,15 +137,14 @@ class DecodeServer:
                 params,
             )
         if weight_quant == "int8":
-            from lina_speech_tpu.utils.quantize import (
-                dequantize_params, quantize_params,
-            )
+            from lina_speech_tpu.utils.quantize import quantize_dense_params
 
-            # ONLY the quantized tree stays resident; every jitted program
-            # receives it as an argument and dequantizes in-trace (decode
-            # streams int8 from HBM; prefill pays a per-request dequant)
-            self._dev_params = quantize_params(params)
-            self._materialize = lambda tree: dequantize_params(tree, cdt)
+            # ONLY the quantized tree stays resident; Dense kernels carry
+            # their {int8_q, int8_s} pairs in the tree and QDense
+            # (ops/qlinear.py) streams them through the native int8 Pallas
+            # GEMV in every program (decode steps AND prefill)
+            self._dev_params = quantize_dense_params(params, min_size=quant_min_size)
+            self._materialize = lambda tree: tree
             del params
         elif weight_quant is not None:
             raise ValueError(f"unknown weight_quant {weight_quant!r}")

@@ -51,6 +51,33 @@ def quantize_params(params, min_size: int = 1 << 16) -> Any:
     return walk(params)
 
 
+def quantize_dense_params(params, min_size: int = 1 << 16) -> Any:
+    """Quantize only 2-D Dense ``kernel`` leaves (>= ``min_size`` elements)
+    *in place in the tree*: :class:`lina_speech_tpu.ops.qlinear.QDense`
+    recognises the {int8_q, int8_s} pair and streams int8 natively through
+    the Pallas GEMV kernel — no tree rebuild, no traced dequant. Embedding
+    / per-quantizer-head leaves (ndim >= 3, ~2% of weight bytes at the
+    flagship config) stay full precision."""
+
+    def walk(node):
+        if isinstance(node, Mapping):
+            return {
+                k: (_quantize_leaf(v)
+                    if (k == "kernel" and hasattr(v, "ndim") and v.ndim == 2
+                        # ShortConvolution also names its (dim, taps<=8)
+                        # filter "kernel" — a real Dense features axis is
+                        # always wider
+                        and v.shape[1] >= 32
+                        and jnp.issubdtype(v.dtype, jnp.floating)
+                        and v.size >= min_size)
+                    else walk(v))
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(params)
+
+
 def dequantize_params(tree, dtype) -> Any:
     """Rebuild a params tree usable by ``model.apply``: int8 pairs become
     ``q.astype(dtype) * s`` (when traced inside a decode loop, XLA streams

@@ -51,15 +51,8 @@ def test_quantized_decode_runs_and_tracks_fp():
     kw = dict(max_seqlen=24, k=1, force_max_seqlen=True)
     ref = generate_batch(model, params, x, jax.random.PRNGKey(3), **kw)
     # quantize at a low threshold so the tiny model's matrices qualify
-    from lina_speech_tpu.utils import quantize as qz
-    orig = qz.quantize_params
-    qz_small = lambda p, min_size=1 << 16: orig(p, min_size=1 << 8)
-    qz.quantize_params = qz_small
-    try:
-        out = generate_batch(model, params, x, jax.random.PRNGKey(3),
-                             weight_quant="int8", **kw)
-    finally:
-        qz.quantize_params = orig
+    out = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                         weight_quant="int8", quant_min_size=1 << 8, **kw)
     toks_ref = np.asarray(ref.tokens)
     toks_q = np.asarray(out.tokens)
     assert toks_q.shape == toks_ref.shape
@@ -85,7 +78,8 @@ def test_quantized_decode_composes_with_lazy_window():
     )
     out = generate_batch(model, params, x, jax.random.PRNGKey(3),
                          max_seqlen=16, k=1, force_max_seqlen=True,
-                         lazy_window=4, weight_quant="int8")
+                         lazy_window=4, weight_quant="int8",
+                         quant_min_size=1 << 8)
     toks = np.asarray(out.tokens)
     assert toks.shape == (cfg.n_quant, 2, 16)
     assert (toks >= 0).all()

@@ -123,14 +123,8 @@ def test_mixed_prompt_lengths_bound_compiles():
 
 def test_server_int8_mode_runs():
     cfg, model, params = _setup()
-    from lina_speech_tpu.utils import quantize as qz
-    orig = qz.quantize_params
-    qz.quantize_params = lambda p, min_size=1 << 16: orig(p, min_size=1 << 8)
-    try:
-        srv = DecodeServer(model, params, n_slots=2, max_text_len=12,
-                           chunk=4, weight_quant="int8")
-        srv.submit(np.asarray([5, 9, 3]), max_len=12)
-        done = srv.run()
-    finally:
-        qz.quantize_params = orig
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12,
+                       chunk=4, weight_quant="int8", quant_min_size=1 << 8)
+    srv.submit(np.asarray([5, 9, 3]), max_len=12)
+    done = srv.run()
     assert len(done) == 1 and done[0].tokens.shape[1] == cfg.n_quant
