@@ -30,7 +30,7 @@ CODEC_HZ = 75.0
 
 
 def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int,
-                  lazy_window: int = 0, weight_quant=None):
+                  lazy_window: int = 0, weight_quant=None, state_quant=None):
     from lina_speech_tpu.generate import generate_batch
 
     key = jax.random.PRNGKey(0)
@@ -40,7 +40,7 @@ def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int,
         return generate_batch(
             model, params, x, k, max_seqlen=steps, k=100,
             force_max_seqlen=True, lazy_window=lazy_window,
-            weight_quant=weight_quant,
+            weight_quant=weight_quant, state_quant=state_quant,
             approx_topk=True,  # perf path opts into approx_max_k candidates
         )
 
@@ -185,6 +185,22 @@ def main():
         "params_m": round(n_params / 1e6, 1),
         "device": str(jax.devices()[0]),
     }
+
+    if (os.environ.get("BENCH_STATE_QUANT", "1") == "1" and batch > 1
+            and os.environ.get("BENCH_DECODE", "1") == "1"):
+        # opt-in int8 recurrent-state decode (state_quant="int8"): b64 is
+        # HBM-bound on the read-only base-state read (647 GB/s achievable,
+        # measured); int8 halves it. Quality knob — reported as an extra
+        # metric, never the headline.
+        q_tok_s, _ = _bench_decode(model, params, cfg, batch, steps,
+                                   text_len, lazy_window=lazy,
+                                   state_quant="int8")
+        extra.append({
+            "metric": f"aggregate_realtime_factor_b{batch}_int8state",
+            "value": round(batch * q_tok_s / CODEC_HZ, 2),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(batch * q_tok_s / CODEC_HZ / 10.0, 3),
+        })
 
     if do_b1:
         b1_tok_s, _ = _bench_decode(model, params, cfg, 1, steps, text_len,

@@ -68,6 +68,7 @@ def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
         "model", "max_seqlen", "k", "first_greedy_quant", "temp",
         "force_max_seqlen", "return_att", "reference_compat_sampling",
         "approx_topk", "lazy_window", "weight_quant", "quant_min_size",
+        "state_quant",
     ),
 )
 def generate_batch(
@@ -88,6 +89,7 @@ def generate_batch(
     lazy_window: int = 0,
     weight_quant: Optional[str] = None,
     quant_min_size: int = 1 << 16,
+    state_quant: Optional[str] = None,
 ) -> GenerateResult:
     """Generate codec tokens for a batch.
 
@@ -110,6 +112,12 @@ def generate_batch(
             roofline ~2x. Opt-in quality knob.
         quant_min_size: minimum element count for a kernel to be
             quantized (tests lower it so tiny configs qualify).
+        state_quant: "int8" stores the lazy-decode base states int8 with
+            per-row scales (requires ``lazy_window > 0``; GLA backbones).
+            b64 decode is HBM-bound on the read-only state read (measured
+            647 GB/s achievable on v5e), so int8 halves the dominant
+            traffic. Opt-in quality knob: states requantize at every
+            fold, the scale rides the readout query for free.
         lazy_window: > 0 enables lazy micro-chunk decode with that window
             size L (GLA backbones only): recurrent states become READ-ONLY
             between folds, token contributions ride small (L, ...) buffers,
@@ -121,6 +129,9 @@ def generate_batch(
     b = x.shape[0]
     nq = model.n_quant
     stop_id = 2
+    if state_quant is not None and lazy_window <= 0:
+        raise ValueError("state_quant requires lazy_window > 0 (the "
+                         "read-only base state is what gets quantized)")
 
     x_enc = model.apply(params, x, method=LinaModel.encode_text)
 
@@ -260,7 +271,8 @@ def generate_batch(
             add_lazy_buffers, fold_lazy_state,
         )
 
-        state = add_lazy_buffers(state, L, dtype=y_embd0.dtype)
+        state = add_lazy_buffers(state, L, dtype=y_embd0.dtype,
+                                 state_quant=state_quant)
 
         def body(c: Carry) -> Carry:
             # one WINDOW: L lazy steps (base states read-only, loop carries

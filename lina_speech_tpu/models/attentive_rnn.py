@@ -49,17 +49,24 @@ Array = jnp.ndarray
 
 
 def add_lazy_buffers(state: "BackboneState", window: int,
-                     dtype=jnp.bfloat16) -> "BackboneState":
+                     dtype=jnp.bfloat16,
+                     state_quant=None) -> "BackboneState":
     """Attach lazy micro-chunk window buffers to every GLA layer state
-    (pure; raises for backbones whose mixers don't support lazy decode)."""
-    def one(st):
+    (pure; raises for backbones whose mixers don't support lazy decode).
+
+    ``state_quant="int8"`` row-quantizes the LAYER base states (the
+    dominant decode HBM traffic); the small pos_net state stays full
+    precision."""
+    def one(st, quant):
         if isinstance(st, GLAState):
-            return gla_add_lazy_buffers(st, window, dtype)
+            return gla_add_lazy_buffers(st, window, dtype,
+                                        state_quant=quant)
         raise TypeError(f"lazy decode unsupported for {type(st).__name__}")
 
-    pos = one(state.pos_net) if state.pos_net is not None else None
-    return BackboneState(layers=tuple(one(s) for s in state.layers),
-                         pos_net=pos)
+    pos = one(state.pos_net, None) if state.pos_net is not None else None
+    return BackboneState(
+        layers=tuple(one(s, state_quant) for s in state.layers),
+        pos_net=pos)
 
 
 def fold_lazy_state(state: "BackboneState") -> "BackboneState":

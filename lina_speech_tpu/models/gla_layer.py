@@ -52,18 +52,34 @@ class GLAState:
     vbuf: Optional[Array] = None  # (L, b, h, dv)
     cbuf: Optional[Array] = None  # (L, b, h, dk) fp32 gate cumsums
     cc: Optional[Array] = None    # (b, h, dk) fp32 cumsum since fold
+    # int8 state quantization (state_quant="int8"): per-(b, h, dk)-row
+    # dequant scale; ``s`` is then int8 (ops/gla.py:quantize_state_rows)
+    s_scale: Optional[Array] = None
 
 
 def gla_add_lazy_buffers(state: GLAState, window: int,
-                         dtype: Any = jnp.bfloat16) -> GLAState:
-    """Attach zeroed lazy-decode window buffers sized from ``state.s``."""
+                         dtype: Any = jnp.bfloat16,
+                         state_quant: Optional[str] = None) -> GLAState:
+    """Attach zeroed lazy-decode window buffers sized from ``state.s``.
+
+    ``state_quant="int8"`` additionally row-quantizes the base state —
+    b64 decode is HBM-bound on the read-only state read, int8 halves it
+    (opt-in quality knob; the scale rides the readout query for free)."""
     b, h, dk, dv = state.s.shape
-    return state.replace(
+    state = state.replace(
         kbuf=jnp.zeros((window, b, h, dk), dtype),
         vbuf=jnp.zeros((window, b, h, dv), dtype),
         cbuf=jnp.zeros((window, b, h, dk), jnp.float32),
         cc=jnp.zeros((b, h, dk), jnp.float32),
     )
+    if state_quant == "int8":
+        from lina_speech_tpu.ops.gla import quantize_state_rows
+
+        s_q, sc = quantize_state_rows(state.s)
+        state = state.replace(s=s_q, s_scale=sc)
+    elif state_quant is not None:
+        raise ValueError(f"unknown state_quant {state_quant!r}")
+    return state
 
 
 def gla_fold_lazy_state(state: GLAState) -> GLAState:
@@ -71,20 +87,24 @@ def gla_fold_lazy_state(state: GLAState) -> GLAState:
 
     On TPU the fold runs as a fused Pallas kernel (one state read + one
     write, rank-L update on the MXU); elsewhere the XLA reference fold."""
-    if jax.default_backend() == "tpu":
-        from lina_speech_tpu.ops.gla_pallas import gla_fold_fused
+    # The fold stays on XLA everywhere: on v5e the Pallas fold kernels
+    # (gla_pallas.gla_fold_fused/_q) measured 427 us/layer-fold vs XLA's
+    # 232 — the K=L contraction is MXU-latency-bound and XLA's fusion of
+    # the rank-L einsum wins (scripts/bench_lazy_kernel.py, round 3).
+    # Buffers deliberately stay STALE (no zeroing writes): the step masks
+    # slots > p and every slot is rewritten before the next fold reads it
+    # (generate.py folds only after full windows).
+    if state.s_scale is not None:
+        from lina_speech_tpu.ops.gla import gla_decode_lazy_fold_q
 
-        s = gla_fold_fused(state.s, state.kbuf, state.vbuf, state.cbuf,
-                           state.cc)
-        return state.replace(
-            s=s, kbuf=jnp.zeros_like(state.kbuf),
-            vbuf=jnp.zeros_like(state.vbuf),
-            cbuf=jnp.zeros_like(state.cbuf), cc=jnp.zeros_like(state.cc))
+        s, sc = gla_decode_lazy_fold_q(state.s, state.s_scale, state.kbuf,
+                                       state.vbuf, state.cbuf, state.cc)
+        return state.replace(s=s, s_scale=sc, cc=jnp.zeros_like(state.cc))
     from lina_speech_tpu.ops.gla import gla_decode_lazy_fold
 
-    s, kbuf, vbuf, cbuf, cc = gla_decode_lazy_fold(
+    s, *_ = gla_decode_lazy_fold(
         state.s, state.kbuf, state.vbuf, state.cbuf, state.cc)
-    return state.replace(s=s, kbuf=kbuf, vbuf=vbuf, cbuf=cbuf, cc=cc)
+    return state.replace(s=s, cc=jnp.zeros_like(state.cc))
 
 
 def gla_empty_state(
@@ -497,13 +517,21 @@ class GatedLinearAttention(nn.Module):
 
         gk = self._raw_gates(h_t)
         hsplit = lambda z, d: z.reshape(b, self.num_heads, d)
-        o, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step(
-            hsplit(q, self.head_qk_dim),
-            hsplit(k, self.head_qk_dim),
-            hsplit(v, self.head_v_dim),
-            hsplit(gk, self.head_qk_dim),
-            state.s, state.kbuf, state.vbuf, state.cbuf, state.cc, p,
-        )
+        qh, kh, vh, gh = (hsplit(q, self.head_qk_dim),
+                          hsplit(k, self.head_qk_dim),
+                          hsplit(v, self.head_v_dim),
+                          hsplit(gk, self.head_qk_dim))
+        if state.s_scale is not None:
+            from lina_speech_tpu.ops.gla import gla_decode_lazy_step_q
+
+            o, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step_q(
+                qh, kh, vh, gh, state.s, state.s_scale,
+                state.kbuf, state.vbuf, state.cbuf, state.cc, p)
+        else:
+            o, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step(
+                qh, kh, vh, gh,
+                state.s, state.kbuf, state.vbuf, state.cbuf, state.cc, p,
+            )
         state = state.replace(kbuf=kbuf, vbuf=vbuf, cbuf=cbuf, cc=cc)
         out = self._output(o[:, :, None, :], h_t[:, None, :])[:, 0]
         return out, state
@@ -533,6 +561,7 @@ class GatedLinearAttention(nn.Module):
             csplit(state.conv_k, dk),
             csplit(state.conv_v, dv),
             state.s, state.kbuf, state.vbuf, state.cbuf, state.cc, p,
+            s_scale=state.s_scale,
         )
         merge = lambda z, d: z.reshape(w, b, h * d)
         state = state.replace(

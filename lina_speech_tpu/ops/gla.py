@@ -181,6 +181,67 @@ def gla_decode_lazy_fold(
             jnp.zeros_like(cbuf), jnp.zeros_like(cc))
 
 
+def quantize_state_rows(s: Array) -> Tuple[Array, Array]:
+    """Symmetric int8 per-(b, h, dk)-row quantization of a recurrent state.
+
+    b64 lazy decode is HBM-bound on the read-only state (measured 647 GB/s
+    achievable pure-read on v5e — scripts/bench_lazy_kernel.py --which bw);
+    storing S int8 halves the dominant per-token traffic. The row scale
+    folds into the readout for free: o = sum_dk (q*exp(cc)*scale)[dk] *
+    S_q[dk, :]. Opt-in quality knob (generate_batch(state_quant="int8"));
+    requantization happens at every fold, so the error does not compound
+    beyond the recurrence's own decay."""
+    sf = s.astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(sf), axis=-1), 1e-30) / 127.0
+    q = jnp.clip(jnp.round(sf / sc[..., None]), -127, 127).astype(jnp.int8)
+    return q, sc
+
+
+def dequantize_state_rows(q: Array, sc: Array) -> Array:
+    return q.astype(jnp.float32) * sc[..., None]
+
+
+def gla_decode_lazy_step_q(
+    q: Array, k: Array, v: Array, gk: Array,
+    s_base_q: Array, s_scale: Array,
+    kbuf: Array, vbuf: Array, cbuf: Array, cc: Array, p: Array,
+    scale: Optional[float] = None,
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """:func:`gla_decode_lazy_step` over an int8 base state: the row scale
+    rides the query, the int8 matrix feeds the readout directly."""
+    scale = _default_scale(q, scale)
+    L = kbuf.shape[0]
+    qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, gk))
+    cc = cc + gf
+    kbuf = jax.lax.dynamic_update_index_in_dim(kbuf, k, p, axis=0)
+    vbuf = jax.lax.dynamic_update_index_in_dim(vbuf, v, p, axis=0)
+    cbuf = jax.lax.dynamic_update_index_in_dim(
+        cbuf, cc.astype(cbuf.dtype), p, axis=0)
+
+    o = jnp.einsum("bhk,bhkv->bhv", qf * scale * jnp.exp(cc) * s_scale,
+                   s_base_q.astype(jnp.float32))
+    live = (jnp.arange(L) <= p).astype(jnp.float32)[:, None, None, None]
+    w = jnp.exp(jnp.minimum(cc[None] - cbuf.astype(jnp.float32), 0.0)) * live
+    a = jnp.einsum("bhk,lbhk->lbh", qf * scale,
+                   kbuf.astype(jnp.float32) * w)
+    o = o + jnp.einsum("lbh,lbhv->bhv", a, vbuf.astype(jnp.float32))
+    return o.astype(q.dtype), kbuf, vbuf, cbuf, cc
+
+
+def gla_decode_lazy_fold_q(
+    s_base_q: Array, s_scale: Array,
+    kbuf: Array, vbuf: Array, cbuf: Array, cc: Array,
+) -> Tuple[Array, Array]:
+    """Fold over an int8 base state: dequant -> chunk-scan update ->
+    fresh per-row requantization. Returns (s_q, s_scale) only (buffers
+    stay stale; the step masks slots > p)."""
+    dec = jnp.exp(jnp.minimum(cc[None] - cbuf.astype(jnp.float32), 0.0))
+    s = (jnp.exp(cc) * s_scale)[..., None] * s_base_q.astype(jnp.float32)
+    s = s + jnp.einsum("lbhk,lbhv->bhkv", kbuf.astype(jnp.float32) * dec,
+                       vbuf.astype(jnp.float32))
+    return quantize_state_rows(s)
+
+
 def gla_chunk(
     q: Array,
     k: Array,

@@ -1122,7 +1122,8 @@ def gla_chunk_conv_pallas(
 
 
 # ---------------------------------------------------------------- decode
-_BH_BLK = 8  # rows of (batch*heads) per program; satisfies sublane tiling
+_BH_BLK = int(__import__("os").environ.get(
+    "GLA_BH_BLK", "8"))  # rows of (batch*heads) per program (sublane mult.)
 
 
 def _decode_kernel(q_ref, k_ref, v_ref, g_ref, s_ref, o_ref, s_out_ref, *,
@@ -1539,7 +1540,7 @@ def rwkv6_decode_fused(
 
 def _lazy_conv_kernel(p_ref, xq_ref, xk_ref, xv_ref, g_ref,
                       wq_ref, wk_ref, wv_ref,
-                      cq_ref, ck_ref, cv_ref, s_ref,
+                      cq_ref, ck_ref, cv_ref, s_ref, ss_ref,
                       kb_ref, vb_ref, cb_ref, cc_ref,
                       o_ref, cq_out, ck_out, cv_out,
                       kb_out, vb_out, cb_out, cc_out, *,
@@ -1576,12 +1577,17 @@ def _lazy_conv_kernel(p_ref, xq_ref, xk_ref, xv_ref, g_ref,
     vb_out[:] = v.astype(vb_out.dtype)[None]
     cb_out[:] = cc.astype(cb_out.dtype)[None]
 
-    # base readout on the MXU: one batched (blk, 1, dk) @ (blk, dk, dv)
-    # dot (a per-row Python loop of (1, dk) dots measured 131 us/layer vs
-    # the 89 us block roofline — Mosaic serializes the tiny ops)
-    q_eff = (q * jnp.exp(cc)).astype(s_ref.dtype)      # (blk, dk)
+    # base readout: one batched (blk, 1, dk) @ (blk, dk, dv) MXU dot.
+    # (Measured: per-row loop == batched dot == 131 us/layer; a VPU
+    # multiply-reduce is WORSE, 154 us — the (blk, dk, dv) f32
+    # temporaries thrash VMEM.)
+    # per-row state scale rides the query (ones when S is bf16; the
+    # dequant scale when S is stored int8 — state_quant="int8")
+    q_eff = (q * jnp.exp(cc)
+             * ss_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+    s_blk = s_ref[:].astype(jnp.bfloat16)              # int8 -> exact
     o = jax.lax.dot_general(
-        q_eff[:, None, :], s_ref[:],
+        q_eff[:, None, :], s_blk,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0]      # (blk, dv)
 
@@ -1595,7 +1601,8 @@ def _lazy_conv_kernel(p_ref, xq_ref, xk_ref, xv_ref, g_ref,
 
 
 def _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
-                        kbuf, vbuf, cbuf, cc, p, scale, interpret, donate):
+                        s_scale, kbuf, vbuf, cbuf, cc, p, scale, interpret,
+                        donate):
     b, h, dk = xq.shape
     dv = xv.shape[-1]
     w = cq.shape[0]
@@ -1607,6 +1614,7 @@ def _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
     cq2, ck2 = cq.reshape(w, bh, dk), ck.reshape(w, bh, dk)
     cv2 = cv.reshape(w, bh, dv)
     s2 = state.reshape(bh, dk, dv)
+    ss2 = s_scale.reshape(bh, dk)
     kb2, cb2 = kbuf.reshape(L, bh, dk), cbuf.reshape(L, bh, dk)
     vb2 = vbuf.reshape(L, bh, dv)
     cc2 = cc.reshape(bh, dk)
@@ -1614,6 +1622,7 @@ def _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
         pz = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
         pzc = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         q2, k2, g2, v2, s2, cc2 = (pz(x) for x in (q2, k2, g2, v2, s2, cc2))
+        ss2 = pz(ss2)
         cq2, ck2, cv2 = pzc(cq2), pzc(ck2), pzc(cv2)
         kb2, vb2, cb2 = pzc(kb2), pzc(vb2), pzc(cb2)
     BH = bh + pad
@@ -1638,6 +1647,7 @@ def _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
             pl.BlockSpec((w, _BH_BLK, dk), tm),
             pl.BlockSpec((w, _BH_BLK, dv), tm),
             pl.BlockSpec((_BH_BLK, dk, dv), s_ix),
+            pl.BlockSpec((_BH_BLK, dk), row),
             pl.BlockSpec((L, _BH_BLK, dk), tm),
             pl.BlockSpec((L, _BH_BLK, dv), tm),
             pl.BlockSpec((L, _BH_BLK, dk), tm),
@@ -1671,9 +1681,9 @@ def _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
     # each buffer, the other rows must be the input's (XLA inserts a copy
     # if the caller keeps the input alive — donation makes it true
     # in-place).
-    aliases = {12: 4, 13: 5, 14: 6}
+    aliases = {13: 4, 14: 5, 15: 6}
     if donate:
-        aliases.update({8: 1, 9: 2, 10: 3, 15: 7})
+        aliases.update({8: 1, 9: 2, 10: 3, 16: 7})
     o, cq_n, ck_n, cv_n, kb_n, vb_n, cb_n, cc_n = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1681,10 +1691,11 @@ def _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(p, jnp.int32).reshape(1), q2, k2, v2, g2, wq, wk, wv,
-      cq2, ck2, cv2, s2, kb2, vb2, cb2, cc2)
+      cq2, ck2, cv2, s2, ss2, kb2, vb2, cb2, cc2)
     unc = lambda x, d: x[:, :bh].reshape(x.shape[0], b, h, d)
     return (o[:bh].reshape(b, h, dv),
             unc(cq_n, dk), unc(ck_n, dk), unc(cv_n, dv),
@@ -1699,9 +1710,12 @@ def _lazy_fold_kernel(s_ref, kb_ref, vb_ref, cb_ref, cc_ref, s_out_ref):
     kdec = (kb_ref[:].astype(jnp.float32) * dec).astype(jnp.bfloat16)
     vb = vb_ref[:]                                     # (L, blk, dv) bf16
     decay = jnp.exp(cc)
-    # batched rank-L update on the MXU: (blk, dk, L) @ (blk, L, dv)
-    # (a per-row Python loop measured 422 us/layer-fold vs the 164 us
-    # S-read+write floor)
+    # batched rank-L MXU update: (blk, dk, L) @ (blk, L, dv). Measured 427
+    # us/layer-fold at every block size (VMEM limits incl. 100 MB make no
+    # difference); a VPU outer-product loop is worse (611 us — f32
+    # temporaries thrash VMEM). The K=L dot is latency-bound, so the
+    # per-token remedy is a LARGER window (amortize folds), not a faster
+    # fold.
     upd = jax.lax.dot_general(
         kdec.transpose(1, 2, 0), vb.transpose(1, 0, 2),
         (((2,), (1,)), ((0,), (0,))),
@@ -1753,15 +1767,138 @@ def _gla_lazy_fold_impl(state, kbuf, vbuf, cbuf, cc, interpret, donate):
     return s_new[:bh].reshape(b, h, dk, dv)
 
 
+def _lazy_fold_q_kernel(s_ref, ss_ref, kb_ref, vb_ref, cb_ref, cc_ref,
+                        s_out_ref, ss_out_ref):
+    """Int8-state fold: dequant rows, chunk-scan update, fresh per-row
+    requantization (contract of ops/gla.py:gla_decode_lazy_fold_q)."""
+    cc = cc_ref[:].astype(jnp.float32)                 # (blk, dk)
+    dec = jnp.exp(jnp.minimum(
+        cc[None] - cb_ref[:].astype(jnp.float32), 0.0))  # (L, blk, dk)
+    kdec = (kb_ref[:].astype(jnp.float32) * dec).astype(jnp.bfloat16)
+    vb = vb_ref[:]                                     # (L, blk, dv) bf16
+    upd = jax.lax.dot_general(
+        kdec.transpose(1, 2, 0), vb.transpose(1, 0, 2),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (blk, dk, dv)
+    decay_sc = jnp.exp(cc) * ss_ref[:].astype(jnp.float32)
+    s_new = decay_sc[:, :, None] * s_ref[:].astype(jnp.float32) + upd
+    sc = jnp.maximum(jnp.max(jnp.abs(s_new), axis=-1), 1e-30) / 127.0
+    s_q = jnp.clip(jnp.round(s_new / sc[:, :, None]), -127, 127)
+    s_out_ref[:] = s_q.astype(jnp.int8)
+    ss_out_ref[:] = sc
+
+
+def _gla_lazy_fold_q_impl(state, s_scale, kbuf, vbuf, cbuf, cc, interpret,
+                          donate):
+    b, h, dk, dv = state.shape
+    L = kbuf.shape[0]
+    bh = b * h
+    pad = (-bh) % _FOLD_BLK
+    s2 = state.reshape(bh, dk, dv)
+    ss2 = s_scale.reshape(bh, dk)
+    kb2, cb2 = kbuf.reshape(L, bh, dk), cbuf.reshape(L, bh, dk)
+    vb2 = vbuf.reshape(L, bh, dv)
+    cc2 = cc.reshape(bh, dk)
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        pzc = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        s2, ss2, cc2 = pz(s2), pz(ss2), pz(cc2)
+        kb2, vb2, cb2 = pzc(kb2), pzc(vb2), pzc(cb2)
+    BH = bh + pad
+
+    row = lambda i: (i, 0)
+    tm = lambda i: (0, i, 0)
+    s_q, ss_n = pl.pallas_call(
+        _lazy_fold_q_kernel,
+        grid=(BH // _FOLD_BLK,),
+        in_specs=[
+            pl.BlockSpec((_FOLD_BLK, dk, dv), lambda i: (i, 0, 0)),
+            pl.BlockSpec((_FOLD_BLK, dk), row),
+            pl.BlockSpec((L, _FOLD_BLK, dk), tm),
+            pl.BlockSpec((L, _FOLD_BLK, dv), tm),
+            pl.BlockSpec((L, _FOLD_BLK, dk), tm),
+            pl.BlockSpec((_FOLD_BLK, dk), row),
+        ],
+        out_specs=[
+            pl.BlockSpec((_FOLD_BLK, dk, dv), lambda i: (i, 0, 0)),
+            pl.BlockSpec((_FOLD_BLK, dk), row),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, dk, dv), jnp.int8),
+            jax.ShapeDtypeStruct((BH, dk), jnp.float32),
+        ],
+        input_output_aliases={0: 0, 1: 1} if donate else {},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(s2, ss2, kb2, vb2, cb2, cc2)
+    return (s_q[:bh].reshape(b, h, dk, dv),
+            ss_n[:bh].reshape(b, h, dk))
+
+
+@functools.lru_cache(maxsize=None)
+def _gla_lazy_fold_q_partitioned(interpret, donate):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(state, s_scale, kbuf, vbuf, cbuf, cc):
+        return _gla_lazy_fold_q_impl(state, s_scale, kbuf, vbuf, cbuf, cc,
+                                     interpret, donate)
+
+    cp = custom_partitioning(fn)
+
+    def outs_for(mesh, arg_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, ha, None, None), mk(ba, ha, None))
+
+    def infer(mesh, arg_infos, result_infos):
+        return outs_for(mesh, arg_infos)
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = (mk(ba, ha, None, None), mk(ba, ha, None),
+                mk(None, ba, ha, None), mk(None, ba, ha, None),
+                mk(None, ba, ha, None), mk(ba, ha, None))
+        return mesh, fn, outs_for(mesh, arg_infos), args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h k v, b h k, l b h k, l b h v, l b h k, b h k "
+                      "-> b h k v, b h k",
+        need_replication_factors=("k", "v", "l"),
+    )
+    return cp
+
+
+def gla_fold_fused_q(
+    state: Array, s_scale: Array, kbuf: Array, vbuf: Array, cbuf: Array,
+    cc: Array,
+    interpret: Optional[bool] = None,
+    donate: bool = True,
+) -> Tuple[Array, Array]:
+    """Int8-state fused fold: returns (state_int8, s_scale) freshly
+    row-requantized (quality knob; ops/gla.py:quantize_state_rows)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _gla_lazy_fold_q_partitioned(interpret, donate)(
+        state, s_scale, kbuf, vbuf, cbuf, cc)
+
+
 @functools.lru_cache(maxsize=None)
 def _gla_lazy_conv_partitioned(scale, interpret, donate):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def fn(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state,
+    def fn(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state, s_scale,
            kbuf, vbuf, cbuf, cc, p):
         return _gla_lazy_conv_impl(xq, xk, xv, gk, wq, wk, wv, cq, ck, cv,
-                                   state, kbuf, vbuf, cbuf, cc, p,
+                                   state, s_scale, kbuf, vbuf, cbuf, cc, p,
                                    scale, interpret, donate)
 
     cp = custom_partitioning(fn)
@@ -1785,6 +1922,7 @@ def _gla_lazy_conv_partitioned(scale, interpret, donate):
                 + (mk(None, ha, None),) * 3        # conv taps
                 + (mk(None, ba, ha, None),) * 3    # rings
                 + (mk(ba, ha, None, None),)        # state
+                + (mk(ba, ha, None),)              # s_scale
                 + (mk(None, ba, ha, None),) * 3    # kbuf vbuf cbuf
                 + (mk(ba, ha, None),)              # cc
                 + (mk(),))                         # p (replicated scalar)
@@ -1795,7 +1933,7 @@ def _gla_lazy_conv_partitioned(scale, interpret, donate):
         infer_sharding_from_operands=infer,
         decode_shardings=False,
         sharding_rule="b h k, b h k, b h v, b h k, w h k, w h k, w h v, "
-                      "w b h k, w b h k, w b h v, b h k v, "
+                      "w b h k, w b h k, w b h v, b h k v, b h k, "
                       "l b h k, l b h v, l b h k, b h k, s "
                       "-> b h v, w b h k, w b h k, w b h v, "
                       "l b h k, l b h v, l b h k, b h k",
@@ -1846,13 +1984,16 @@ def gla_decode_lazy_conv_fused(
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
     donate: bool = True,
+    s_scale: Optional[Array] = None,
 ):
     """Fused lazy micro-chunk decode step (contract of
     ops.gla.gla_decode_lazy_step + the conv rings of gla_decode_conv_fused).
 
     One HBM pass over every operand; the recurrent state is READ-ONLY and
-    consumed bf16 straight into an MXU readout. Returns
-    (o, cq, ck, cv, kbuf, vbuf, cbuf, cc).
+    consumed straight into an MXU readout. ``state`` may be bf16/f32 or —
+    with ``s_scale`` (b, h, dk) — int8 row-quantized
+    (ops/gla.py:quantize_state_rows); the scale rides the query for free.
+    Returns (o, cq, ck, cv, kbuf, vbuf, cbuf, cc).
     """
     h = xq.shape[1]
     if _BH_BLK % h:
@@ -1862,10 +2003,12 @@ def gla_decode_lazy_conv_fused(
         scale = xq.shape[-1] ** -0.5
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if s_scale is None:
+        s_scale = jnp.ones(state.shape[:-1], jnp.float32)
     p = jnp.asarray(p, jnp.int32).reshape(1)  # rank-1 for the sharding rule
     return _gla_lazy_conv_partitioned(scale, interpret, donate)(
-        xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state, kbuf, vbuf, cbuf,
-        cc, p)
+        xq, xk, xv, gk, wq, wk, wv, cq, ck, cv, state, s_scale, kbuf, vbuf,
+        cbuf, cc, p)
 
 
 def gla_fold_fused(

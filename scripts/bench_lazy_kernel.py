@@ -80,30 +80,35 @@ def main():
     which = args.which.split(",")
 
     if "fused" in which:
+        cqs = [cq for _ in range(NL)]
+        cks = [ck for _ in range(NL)]
+        cvs = [cv for _ in range(NL)]
+
         @jax.jit
-        def many_fused(x_q, x_k, x_v, g, cq, ck, cv, S, kbuf, vbuf, cbuf, cc):
+        def many_fused(x_q, x_k, x_v, g, cqs, cks, cvs, S,
+                       kbuf, vbuf, cbuf, cc):
             def it(carry, i):
-                x_q, kbuf, vbuf, cbuf, cc = carry
+                x_q, cqs, cks, cvs, kbuf, vbuf, cbuf, cc = carry
                 acc = jnp.float32(0)
-                kb_n, vb_n, cb_n, cc_n = [], [], [], []
+                nxt = [[], [], [], [], [], [], []]
                 for l in range(NL):
-                    o, _, _, _, kb, vb, cb, ccn = \
+                    o, cqn, ckn, cvn, kb, vb, cb, ccn = \
                         gla_decode_lazy_conv_fused(
                             x_q, x_k, x_v, g, wq, wk, wv,
-                            cq, ck, cv, S[l], kbuf[l], vbuf[l], cbuf[l],
-                            cc[l], i % L, donate=False)
+                            cqs[l], cks[l], cvs[l], S[l], kbuf[l], vbuf[l],
+                            cbuf[l], cc[l], i % L, donate=True)
                     acc = acc + o.astype(jnp.float32).sum()
-                    kb_n.append(kb); vb_n.append(vb); cb_n.append(cb)
-                    cc_n.append(ccn)
+                    for dst, val in zip(nxt, (cqn, ckn, cvn, kb, vb, cb, ccn)):
+                        dst.append(val)
                 x_q = x_q + (1e-30 * acc).astype(x_q.dtype)
-                return (x_q, kb_n, vb_n, cb_n, cc_n), None
+                return (x_q, *nxt), None
             carry, _ = jax.lax.scan(
-                it, (x_q, kbuf, vbuf, cbuf, cc),
+                it, (x_q, cqs, cks, cvs, kbuf, vbuf, cbuf, cc),
                 jnp.arange(args.iters))
             return carry[0].astype(jnp.float32).sum()
 
-        timed("fused-step", many_fused, x_q, x_k, x_v, g, cq, ck, cv, S,
-              kbuf, vbuf, cbuf, cc)
+        timed("fused-step", many_fused, x_q, x_k, x_v, g, cqs, cks, cvs,
+              S, kbuf, vbuf, cbuf, cc)
 
     if "xla" in which:
         from lina_speech_tpu.ops.gla import gla_decode_lazy_step
@@ -142,6 +147,93 @@ def main():
         timed("xla-step", many_xla, x_q, x_k, x_v, g, cq, ck, cv, S,
               kbuf, vbuf, cbuf, cc)
 
+    if "fusedq" in which:
+        from lina_speech_tpu.ops.gla import quantize_state_rows
+        from lina_speech_tpu.ops.gla_pallas import gla_fold_fused_q
+
+        Sq, Ssc = zip(*(quantize_state_rows(s) for s in S))
+        Sq, Ssc = list(Sq), list(Ssc)
+        cqs = [cq for _ in range(NL)]
+        cks = [ck for _ in range(NL)]
+        cvs = [cv for _ in range(NL)]
+
+        @jax.jit
+        def many_fq(x_q, x_k, x_v, g, cqs, cks, cvs, Sq, Ssc,
+                    kbuf, vbuf, cbuf, cc):
+            def it(carry, i):
+                x_q, cqs, cks, cvs, kbuf, vbuf, cbuf, cc = carry
+                acc = jnp.float32(0)
+                nxt = [[], [], [], [], [], [], []]
+                for l in range(NL):
+                    o, cqn, ckn, cvn, kb, vb, cb, ccn = \
+                        gla_decode_lazy_conv_fused(
+                            x_q, x_k, x_v, g, wq, wk, wv,
+                            cqs[l], cks[l], cvs[l], Sq[l], kbuf[l], vbuf[l],
+                            cbuf[l], cc[l], i % L, donate=True,
+                            s_scale=Ssc[l])
+                    acc = acc + o.astype(jnp.float32).sum()
+                    for dst, val in zip(nxt, (cqn, ckn, cvn, kb, vb, cb, ccn)):
+                        dst.append(val)
+                x_q = x_q + (1e-30 * acc).astype(x_q.dtype)
+                return (x_q, *nxt), None
+            carry, _ = jax.lax.scan(
+                it, (x_q, cqs, cks, cvs, kbuf, vbuf, cbuf, cc),
+                jnp.arange(args.iters))
+            return carry[0].astype(jnp.float32).sum()
+
+        timed("fused-step-q8", many_fq, x_q, x_k, x_v, g, cqs, cks, cvs,
+              Sq, Ssc, kbuf, vbuf, cbuf, cc)
+
+    if "foldq" in which:
+        from lina_speech_tpu.ops.gla import quantize_state_rows
+        from lina_speech_tpu.ops.gla_pallas import gla_fold_fused_q
+
+        kb1 = jax.random.normal(ks[8], (L, b, h, dk), bf)
+        vb1 = jax.random.normal(ks[9], (L, b, h, dv), bf)
+        cb1 = -jnp.abs(jax.random.normal(ks[10], (L, b, h, dk),
+                                         jnp.float32)) * 0.1
+        Sq, Ssc = zip(*(quantize_state_rows(s) for s in S))
+
+        @jax.jit
+        def many_foldq(Sq, Ssc, kb1, vb1, cb1, cc):
+            def it(carry, _):
+                Sq, Ssc = carry
+                out = [gla_fold_fused_q(Sq[l], Ssc[l], kb1, vb1, cb1,
+                                        cc[l] - 0.05, donate=True)
+                       for l in range(NL)]
+                return (tuple(o[0] for o in out),
+                        tuple(o[1] for o in out)), None
+            carry, _ = jax.lax.scan(it, (tuple(Sq), tuple(Ssc)), None,
+                                    length=args.iters)
+            return sum(s.astype(jnp.float32).sum() for s in carry[0])
+
+        timed("fused-fold-q8", many_foldq, tuple(Sq), tuple(Ssc), kb1, vb1,
+              cb1, cc, per="layer-fold")
+
+    if "bw" in which:
+        _bw_probe(args, S, NL)
+
+    if "xlafold" in which:
+        from lina_speech_tpu.ops.gla import gla_decode_lazy_fold
+
+        kb1 = jax.random.normal(ks[8], (L, b, h, dk), bf)
+        vb1 = jax.random.normal(ks[9], (L, b, h, dv), bf)
+        cb1 = -jnp.abs(jax.random.normal(ks[10], (L, b, h, dk),
+                                         jnp.float32)) * 0.1
+
+        @jax.jit
+        def many_xfold(S, kb1, vb1, cb1, cc):
+            def it(S, _):
+                S = [gla_decode_lazy_fold(S[l], kb1, vb1, cb1,
+                                          cc[l] - 0.05)[0]
+                     for l in range(NL)]
+                return S, None
+            S, _ = jax.lax.scan(it, S, None, length=args.iters)
+            return sum(s.astype(jnp.float32).sum() for s in S)
+
+        timed("xla-fold", many_xfold, S, kb1, vb1, cb1, cc,
+              per="layer-fold")
+
     if "fold" in which:
         kb1 = jax.random.normal(ks[8], (L, b, h, dk), bf)
         vb1 = jax.random.normal(ks[9], (L, b, h, dv), bf)
@@ -152,7 +244,7 @@ def main():
         def many_fold(S, kb1, vb1, cb1, cc):
             def it(S, _):
                 S = [gla_fold_fused(S[l], kb1, vb1, cb1, cc[l] - 0.05,
-                                    donate=False)
+                                    donate=True)
                      for l in range(NL)]
                 return S, None
             S, _ = jax.lax.scan(it, S, None, length=args.iters)
@@ -160,6 +252,55 @@ def main():
 
         timed("fused-fold", many_fold, S, kb1, vb1, cb1, cc,
               per="layer-fold")
+
+
+def _bw_probe(args, S, NL):
+    """Pure-read bandwidth: sum-reduce each layer's S (write ~nothing)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(i_ref, s_ref, o_ref):
+        o_ref[:] = jnp.sum(s_ref[:].astype(jnp.float32), axis=1) + i_ref[0, 0]
+
+    b, h, dk, dv = S[0].shape
+    bh = b * h
+    blk = 8
+
+    def rd(s, it):
+        # the iteration-dependent operand defeats loop-invariant code
+        # motion (without it XLA hoists the whole read out of the scan and
+        # reports 4900 GB/s)
+        s2 = s.reshape(bh, dk, dv)
+        return pl.pallas_call(
+            kern,
+            grid=(bh // blk,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((blk, dk, dv), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((blk, dv), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, dv), jnp.float32),
+        )(it.reshape(1, 1).astype(jnp.float32), s2).sum()
+
+    @jax.jit
+    def many(S):
+        def it(acc, i):
+            for l in range(NL):
+                acc = acc + rd(S[l], i)
+            return acc, None
+        acc, _ = jax.lax.scan(it, jnp.float32(0), jnp.arange(args.iters))
+        return acc
+
+    import time
+    float(many(S))
+    t0 = time.perf_counter()
+    float(many(S))
+    dt = (time.perf_counter() - t0) / args.iters / NL
+    gb = b * h * dk * dv * S[0].dtype.itemsize / 1e9
+    print(f"bw-probe      : {dt*1e6:8.1f} us/layer-read of {gb*1e3:.1f} MB"
+          f"  -> {gb/dt:.0f} GB/s pure-read", flush=True)
 
 
 if __name__ == "__main__":

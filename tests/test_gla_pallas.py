@@ -483,3 +483,91 @@ def test_lazy_conv_fused_shards_over_batch_and_heads():
     s = g(put(state, st), put(kb2, tm), put(vb2, tm), put(cb2, tm),
           put(cc2, row))
     assert s.sharding.is_equivalent_to(st, 4)
+
+
+# ------------------------------------------------------- int8 state (lazy)
+def test_lazy_int8_state_kernels_match_oracle():
+    """Fused int8-state step/fold vs the XLA _q oracles (ops/gla.py)."""
+    from lina_speech_tpu.ops.gla import (
+        gla_decode_lazy_fold_q, gla_decode_lazy_step_q, quantize_state_rows,
+    )
+    from lina_speech_tpu.ops.gla_pallas import gla_fold_fused_q
+
+    b, h, dk, dv, L = 2, 2, 16, 32, 4
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    s = jax.random.normal(ks[0], (b, h, dk, dv)) * 0.1
+    sq, sc = quantize_state_rows(s)
+    kb = jax.random.normal(ks[1], (L, b, h, dk), jnp.bfloat16)
+    vb = jax.random.normal(ks[2], (L, b, h, dv), jnp.bfloat16)
+    cb = -jnp.abs(jax.random.normal(ks[3], (L, b, h, dk))) * 0.1
+    cc = cb[0] * 0 - 0.3
+    a_q, a_sc = gla_fold_fused_q(sq, sc, kb, vb, cb, cc, interpret=True,
+                                 donate=False)
+    r_q, r_sc = gla_decode_lazy_fold_q(sq, sc, kb, vb, cb, cc)
+    # bf16 kdec in-kernel vs f32 oracle: off-by-one int at most
+    assert np.abs(np.asarray(a_q, np.int32) - np.asarray(r_q, np.int32)).max() <= 1
+    np.testing.assert_allclose(np.asarray(a_sc), np.asarray(r_sc),
+                               rtol=5e-3, atol=1e-7)
+
+    # step readout parity through the fused conv kernel with s_scale
+    from lina_speech_tpu.ops.gla_pallas import gla_decode_lazy_conv_fused
+
+    args = _lazy_inputs(jax.random.PRNGKey(5), L=L)
+    xqs, xks, xvs, gks, wq, wk, wv, cq, ck, cv, state = args
+    b, h, dk = xqs[0].shape
+    dv = xvs[0].shape[-1]
+    sq2, sc2 = quantize_state_rows(state)
+    kbuf = jnp.zeros((L, b, h, dk), xqs[0].dtype)
+    vbuf = jnp.zeros((L, b, h, dv), xqs[0].dtype)
+    cbuf = jnp.zeros((L, b, h, dk), jnp.float32)
+    ccz = jnp.zeros((b, h, dk), jnp.float32)
+    o_q, *_ = gla_decode_lazy_conv_fused(
+        xqs[0], xks[0], xvs[0], gks[0], wq, wk, wv, cq, ck, cv,
+        sq2, kbuf, vbuf, cbuf, ccz, jnp.int32(0),
+        interpret=True, donate=False, s_scale=sc2)
+    o_f, *_ = gla_decode_lazy_conv_fused(
+        xqs[0], xks[0], xvs[0], gks[0], wq, wk, wv, cq, ck, cv,
+        state, kbuf, vbuf, cbuf, ccz, jnp.int32(0),
+        interpret=True, donate=False)
+    # int8 state vs bf16 state: quantization-level agreement
+    np.testing.assert_allclose(np.asarray(o_q, np.float32),
+                               np.asarray(o_f, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_generate_int8_state_tracks_fp():
+    """Tiny-model lazy decode with state_quant='int8' stays close to the
+    full-precision lazy decode (greedy agreement)."""
+    import jax as _jax
+
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+    from lina_speech_tpu.generate import generate_batch
+
+    cfg = lina_gla_tiny()
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 3,
+                           cfg.n_txt_vocab)
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        jax.random.PRNGKey(2), x, y, jnp.ones((2, 10, 10), bool),
+        jnp.ones((2, 8, 10), bool), jnp.ones((2, 8), bool),
+    )
+    kw = dict(max_seqlen=24, k=1, force_max_seqlen=True, lazy_window=4)
+    ref = generate_batch(model, params, x, jax.random.PRNGKey(3), **kw)
+    out = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                         state_quant="int8", **kw)
+    agreement = (np.asarray(out.tokens) == np.asarray(ref.tokens)).mean()
+    assert agreement > 0.7, f"greedy agreement {agreement:.2f}"
+
+
+def test_state_quant_requires_lazy():
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+    from lina_speech_tpu.generate import generate_batch
+
+    cfg = lina_gla_tiny()
+    model = build_model(cfg)
+    x = jnp.ones((1, 4), jnp.int32)
+    with pytest.raises(ValueError, match="state_quant"):
+        generate_batch(model, {}, x, jax.random.PRNGKey(0),
+                       state_quant="int8")
