@@ -492,9 +492,13 @@ class GatedLinearAttention(nn.Module):
         from lina_speech_tpu.ops.gla import gla_decode_lazy_step
 
         b = x_t.shape[0]
-        use_fused = self.kernel_mode == "chunk_pallas" or (
-            self.kernel_mode == "auto" and jax.default_backend() == "tpu"
-        )
+        # The fused lazy step kernel is NOT the default: at b64 flagship
+        # shapes the XLA lowering is already at the achievable-bandwidth
+        # floor (119 us/layer-token vs 647 GB/s pure-read — BASELINE.md
+        # round-3 analysis) and the fused kernel measured SLOWER end-to-end
+        # (137.8x vs 165.7x aggregate realtime). Kept behind explicit
+        # kernel_mode="chunk_pallas" for future hardware where fusion wins.
+        use_fused = self.kernel_mode == "chunk_pallas"
         if (
             self.use_short_conv
             and not self.share_conv_kernel

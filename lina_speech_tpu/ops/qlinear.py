@@ -187,7 +187,8 @@ class QDense(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros_init()
-    quant_mode: str = "wonly"
+    # env default lets benches A/B the kernel mode without re-plumbing
+    quant_mode: str = __import__("os").environ.get("QLINEAR_MODE", "wonly")
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
