@@ -160,8 +160,10 @@ def main():
     )
 
     # lazy micro-chunk decode wins at large batch (state-traffic-bound);
-    # classic per-token decode wins at b1 (weights-bound) — measured
-    lazy = int(os.environ.get("BENCH_LAZY", "8"))
+    # classic per-token decode wins at b1 (weights-bound) — measured.
+    # L=16 beats L=8 end-to-end (173.8x vs 169.8x bf16; 217.8x vs 190.7x
+    # with int8 state): fold amortization outruns the bigger corrections
+    lazy = int(os.environ.get("BENCH_LAZY", "16"))
     if os.environ.get("BENCH_DECODE", "1") == "1":
         tok_s_stream, dt = _bench_decode(model, params, cfg, batch, steps,
                                          text_len, lazy_window=lazy)
