@@ -83,10 +83,7 @@ def gla_add_lazy_buffers(state: GLAState, window: int,
 
 
 def gla_fold_lazy_state(state: GLAState) -> GLAState:
-    """Fold the buffered window into the base state (pure; no params).
-
-    On TPU the fold runs as a fused Pallas kernel (one state read + one
-    write, rank-L update on the MXU); elsewhere the XLA reference fold."""
+    """Fold the buffered window into the base state (pure; no params)."""
     # The fold stays on XLA everywhere: on v5e the Pallas fold kernels
     # (gla_pallas.gla_fold_fused/_q) measured 427 us/layer-fold vs XLA's
     # 232 — the K=L contraction is MXU-latency-bound and XLA's fusion of
@@ -274,15 +271,75 @@ class GatedLinearAttention(nn.Module):
             gk = jnp.where(reset_mask[..., None], reset_val, gk)
         return gk
 
+    def _proj_qkvg(self, x: Array):
+        """Merged decode-time projection: q|k|v|g(|gk low-rank) as ONE GEMV.
+
+        b1 decode is weights-stream-bound with dispatch/DMA gaps between
+        small GEMVs; concatenating the kernels (the concat is
+        loop-invariant, so XLA hoists + materializes it once outside the
+        token loop) turns 5 streams into 1. Column-independent dot ==
+        exact same math as separate calls. Handles both float kernels and
+        the QDense {int8_q, int8_s} quantized pairs; mixed trees fall
+        back to separate calls.
+
+        Returns (q, k, v, g_for_output_gate, gk_low_rank_or_None).
+        """
+        from lina_speech_tpu.ops.qlinear import (
+            QKEY, SKEY, int8_linear_ref, is_quantized_leaf,
+        )
+
+        mods = [self.q_proj, self.k_proj, self.v_proj, self.g_proj]
+        if not self.scalar_gate:
+            mods.append(self.gk_proj_1)
+        kernels = [m.variables["params"]["kernel"] for m in mods]
+        quant = [is_quantized_leaf(kk) for kk in kernels]
+        if all(quant):
+            qcat = jnp.concatenate([kk[QKEY] for kk in kernels], axis=1)
+            scat = jnp.concatenate(
+                [kk[SKEY].reshape(1, -1) for kk in kernels], axis=1)
+            y = int8_linear_ref(x, qcat, scat,
+                                out_dtype=self.dtype or jnp.bfloat16)
+        elif not any(quant):
+            wcat = jnp.concatenate([jnp.asarray(kk) for kk in kernels],
+                                   axis=1)
+            x2, wcat = nn.dtypes.promote_dtype(x, wcat, dtype=self.dtype)
+            y = x2 @ wcat
+        else:
+            outs = [m(x) for m in mods]
+            return (*outs, None) if self.scalar_gate else tuple(outs)
+        widths = [kk[QKEY].shape[1] if isq else kk.shape[1]
+                  for kk, isq in zip(kernels, quant)]
+        cuts, acc = [], 0
+        for wdt in widths[:-1]:
+            acc += wdt
+            cuts.append(acc)
+        outs = jnp.split(y, cuts, axis=-1)
+        return (*outs, None) if self.scalar_gate else tuple(outs)
+
+    def _gates_from_low_rank(self, x: Array, gk1, reset_mask, reset_val):
+        """_gates() with the low-rank first stage precomputed (merged
+        projection path); scalar-gate variants recompute from ``x``."""
+        if gk1 is None or self.scalar_gate:
+            return self._gates(x, reset_mask, reset_val)
+        g = self.gk_proj_2(gk1)
+        g = jax.nn.log_sigmoid(g.astype(jnp.float32)) / self.gate_logit_normalizer
+        if self.clamp_min is not None:
+            g = jnp.maximum(g, self.clamp_min)
+        if reset_mask is not None:
+            g = jnp.where(reset_mask[..., None], reset_val, g)
+        return g
+
     def _split_heads(self, x: Array, head_dim: int) -> Array:
         b, t, _ = x.shape
         return x.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    def _output(self, o_heads: Array, x: Array) -> Array:
-        # o_heads: (b, h, t, dv_head) -> gate + merge + project
+    def _output(self, o_heads: Array, x: Array,
+                g: Optional[Array] = None) -> Array:
+        # o_heads: (b, h, t, dv_head) -> gate + merge + project; ``g``
+        # lets decode paths reuse the merged-projection output gate
         b, h, t, dv = o_heads.shape
         o = o_heads.transpose(0, 2, 1, 3)  # (b, t, h, dv)
-        g = self.g_proj(x).reshape(b, t, h, dv)
+        g = (self.g_proj(x) if g is None else g).reshape(b, t, h, dv)
         o = self.g_norm_swish_gate(o, g)
         return self.o_proj(o.reshape(b, t, h * dv))
 
@@ -446,17 +503,18 @@ class GatedLinearAttention(nn.Module):
             return self._step_conv_fused(x_t, state)
         if self.use_short_conv and self.share_conv_kernel:
             h_t, conv_h = self.h_conv1d.step(x_t, state.conv_h)
-            q, k, v = self.q_proj(h_t), self.k_proj(h_t), self.v_proj(h_t)
+            q, k, v, gp, gk1 = self._proj_qkvg(h_t)
             state = state.replace(conv_h=conv_h)
         elif self.use_short_conv:
-            q, conv_q = self.q_conv1d.step(self.q_proj(x_t), state.conv_q)
-            k, conv_k = self.k_conv1d.step(self.k_proj(x_t), state.conv_k)
-            v, conv_v = self.v_conv1d.step(self.v_proj(x_t), state.conv_v)
+            qp, kp, vp, gp, gk1 = self._proj_qkvg(x_t)
+            q, conv_q = self.q_conv1d.step(qp, state.conv_q)
+            k, conv_k = self.k_conv1d.step(kp, state.conv_k)
+            v, conv_v = self.v_conv1d.step(vp, state.conv_v)
             state = state.replace(conv_q=conv_q, conv_k=conv_k, conv_v=conv_v)
         else:
-            q, k, v = self.q_proj(x_t), self.k_proj(x_t), self.v_proj(x_t)
+            q, k, v, gp, gk1 = self._proj_qkvg(x_t)
 
-        gk = self._raw_gates(h_t)
+        gk = self._gates_from_low_rank(h_t, gk1, None, -20.0)
 
         hsplit = lambda z, d: z.reshape(b, self.num_heads, d)
         if use_fused:
@@ -481,7 +539,8 @@ class GatedLinearAttention(nn.Module):
         )
         state = state.replace(s=s)
         # one-token output path: (b, h, dv) -> gate/merge/project via seq dim 1
-        out = self._output(o[:, :, None, :], h_t[:, None, :])[:, 0]
+        out = self._output(o[:, :, None, :], h_t[:, None, :],
+                           g=gp[:, None])[:, 0]
         return out, state
 
     def step_lazy(self, x_t: Array, state: GLAState, p: Array) -> Tuple[Array, GLAState]:
@@ -509,17 +568,18 @@ class GatedLinearAttention(nn.Module):
         h_t = x_t
         if self.use_short_conv and self.share_conv_kernel:
             h_t, conv_h = self.h_conv1d.step(x_t, state.conv_h)
-            q, k, v = self.q_proj(h_t), self.k_proj(h_t), self.v_proj(h_t)
+            q, k, v, gp, gk1 = self._proj_qkvg(h_t)
             state = state.replace(conv_h=conv_h)
         elif self.use_short_conv:
-            q, conv_q = self.q_conv1d.step(self.q_proj(x_t), state.conv_q)
-            k, conv_k = self.k_conv1d.step(self.k_proj(x_t), state.conv_k)
-            v, conv_v = self.v_conv1d.step(self.v_proj(x_t), state.conv_v)
+            qp, kp, vp, gp, gk1 = self._proj_qkvg(x_t)
+            q, conv_q = self.q_conv1d.step(qp, state.conv_q)
+            k, conv_k = self.k_conv1d.step(kp, state.conv_k)
+            v, conv_v = self.v_conv1d.step(vp, state.conv_v)
             state = state.replace(conv_q=conv_q, conv_k=conv_k, conv_v=conv_v)
         else:
-            q, k, v = self.q_proj(x_t), self.k_proj(x_t), self.v_proj(x_t)
+            q, k, v, gp, gk1 = self._proj_qkvg(x_t)
 
-        gk = self._raw_gates(h_t)
+        gk = self._gates_from_low_rank(h_t, gk1, None, -20.0)
         hsplit = lambda z, d: z.reshape(b, self.num_heads, d)
         qh, kh, vh, gh = (hsplit(q, self.head_qk_dim),
                           hsplit(k, self.head_qk_dim),
@@ -537,7 +597,8 @@ class GatedLinearAttention(nn.Module):
                 state.s, state.kbuf, state.vbuf, state.cbuf, state.cc, p,
             )
         state = state.replace(kbuf=kbuf, vbuf=vbuf, cbuf=cbuf, cc=cc)
-        out = self._output(o[:, :, None, :], h_t[:, None, :])[:, 0]
+        out = self._output(o[:, :, None, :], h_t[:, None, :],
+                           g=gp[:, None])[:, 0]
         return out, state
 
     def _step_lazy_conv_fused(self, x_t: Array, state: GLAState,
@@ -601,15 +662,19 @@ class GatedLinearAttention(nn.Module):
         b = x_t.shape[0]
         h, dk, dv, w = (self.num_heads, self.head_qk_dim, self.head_v_dim,
                         self.conv_size)
-        gk = self._raw_gates(x_t)  # gates see raw x in the non-shared path
+        # merged q|k|v|g|gk1 projection: one weight stream per layer (b1
+        # decode is weights-stream-bound; dispatch gaps between small
+        # GEMVs are the cost)
+        qp, kp, vp, gp, gk1 = self._proj_qkvg(x_t)
+        gk = self._gates_from_low_rank(x_t, gk1, None, -20.0)
         hsplit = lambda z, d: z.reshape(b, h, d)
         csplit = lambda z, d: z.reshape(w, b, h, d)
         # taps (dim, w) -> (w, h, head_dim), tap 0 oldest
         tsplit = lambda m, d: m.reshape(h, d, w).transpose(2, 0, 1)
         o, s, cq, ck, cv = gla_decode_conv_fused(
-            hsplit(self.q_proj(x_t), dk),
-            hsplit(self.k_proj(x_t), dk),
-            hsplit(self.v_proj(x_t), dv),
+            hsplit(qp, dk),
+            hsplit(kp, dk),
+            hsplit(vp, dv),
             hsplit(gk, dk),
             tsplit(self.q_conv1d.kernel.astype(self.dtype), dk),
             tsplit(self.k_conv1d.kernel.astype(self.dtype), dk),
@@ -622,5 +687,6 @@ class GatedLinearAttention(nn.Module):
         merge = lambda z, d: z.reshape(w, b, h * d)
         state = state.replace(s=s, conv_q=merge(cq, dk), conv_k=merge(ck, dk),
                               conv_v=merge(cv, dv))
-        out = self._output(o[:, :, None, :], x_t[:, None, :])[:, 0]
+        out = self._output(o[:, :, None, :], x_t[:, None, :],
+                           g=gp[:, None])[:, 0]
         return out, state

@@ -203,12 +203,22 @@ class QDense(nn.Module):
         )
         if is_quantized_leaf(kernel):
             out_dtype = self.dtype or jnp.bfloat16
-            if jax.default_backend() == "cpu":
-                y = int8_linear_ref(x, kernel[QKEY], kernel[SKEY],
-                                    out_dtype=out_dtype, mode=self.quant_mode)
-            else:
+            # XLA's fused dequant-dot WINS on v5e for decode GEMVs
+            # (probe_qlinear: 297 us vs 348 pallas / 323 native-int8-dot
+            # for a 25-layer b1 chain — kernel-launch + M=1 pipeline
+            # overheads outweigh explicit streaming). The Pallas kernel
+            # stays behind QLINEAR_MODE=pallas-wonly / pallas-w8a8.
+            if self.quant_mode.startswith("pallas") and \
+                    jax.default_backend() != "cpu":
                 y = int8_linear(x, kernel[QKEY], kernel[SKEY],
-                                out_dtype=out_dtype, mode=self.quant_mode)
+                                out_dtype=out_dtype,
+                                mode=self.quant_mode.split("-", 1)[1])
+            else:
+                y = int8_linear_ref(x, kernel[QKEY], kernel[SKEY],
+                                    out_dtype=out_dtype,
+                                    mode=self.quant_mode
+                                    if not self.quant_mode.startswith(
+                                        "pallas") else "wonly")
             if bias is not None:
                 y = y + jnp.asarray(bias, out_dtype)
             return y

@@ -60,6 +60,30 @@ def main():
             x = (y[:, :d].astype(jnp.bfloat16) + x)
         return x.astype(jnp.float32).sum()
 
+    def chain_xla_int8_sa(x, wqs, scales):
+        # scale-after-dot: convert rides the dot operand, the n-sized
+        # rescale is the epilogue (int8_linear_ref's form)
+        for wq, s in zip(wqs, scales):
+            y = ((x @ wq.astype(jnp.bfloat16)).astype(jnp.float32)
+                 * s[None, :])
+            x = (y[:, :d].astype(jnp.bfloat16) + x)
+        return x.astype(jnp.float32).sum()
+
+    def chain_xla_w8a8(x, wqs, scales):
+        # native int8 x int8 -> int32 dot: zero dequant work on the
+        # weight bytes
+        for wq, s in zip(wqs, scales):
+            xf = x.astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                             1e-12) / 127.0
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * sx * s[None, :]
+            x = (y[:, :d].astype(jnp.bfloat16) + x)
+        return x.astype(jnp.float32).sum()
+
     def make_pallas_chain(mode):
         def chain(x, wqs, scales):
             for wq, s in zip(wqs, scales):
@@ -91,6 +115,8 @@ def main():
 
     timed("bf16", chain_bf16, ws)
     timed("xla-int8", chain_xla_int8, wqs)
+    timed("xla-int8-sa", chain_xla_int8_sa, wqs)
+    timed("xla-w8a8", chain_xla_w8a8, wqs)
     timed("pallas-wonly", make_pallas_chain("wonly"), wqs)
     timed("pallas-w8a8", make_pallas_chain("w8a8"), wqs)
 
