@@ -76,6 +76,9 @@ def _bench_train(cfg, batch: int, seqlen: int, text_len: int, steps: int,
                         jnp.ones((batch, 16, text_len), bool),
                         jnp.ones((batch, 16), bool))
     state = create_train_state(model, params, TrainConfig())
+    # NB auto_layout=True (AUTO entry layouts) measured only +0.5% here
+    # AND its executable breaks when reloaded from the persistent compile
+    # cache (TPU InvalidArgument at run) — stays off; see make_train_step
     train_step = make_train_step(model, grad_accum_steps=accum)
     rng = jax.random.PRNGKey(2)
 

@@ -106,13 +106,25 @@ def _loss_and_metrics(model: LinaModel, params, batch: Dict[str, Any],
 
 
 def make_train_step(model: LinaModel, donate: bool = True,
-                    grad_accum_steps: int = 1) -> Callable:
+                    grad_accum_steps: int = 1,
+                    auto_layout: bool = False) -> Callable:
     """Build the jitted train step. Shard state/batch before calling; XLA
     propagates shardings and inserts dp-psum for grads and tp collectives.
 
     With ``grad_accum_steps > 1`` the batch's leading axis is split into
     micro-batches processed by a ``lax.scan`` (activation memory divides by
-    the accumulation factor)."""
+    the accumulation factor).
+
+    ``auto_layout=True`` lets XLA pick the ENTRY layouts of the train state
+    (params/opt buffers): the r3 xplane profile showed ~5 ms/step of f32
+    layout copies normalizing dW GEMM outputs ({0,1}) to the row-major
+    param buffers ({1,0}); AUTO lets the buffers live in the layout the
+    step prefers. Measured (v5e, flagship B8 T512): only +0.5% — the copy
+    self-time was already DMA-overlapped — AND the compiled executable
+    fails with a TPU ``InvalidArgument`` when reloaded from the persistent
+    compilation cache (fresh compiles run fine; minimal AUTO-layout
+    programs reload fine, the full train step does not). Kept as an
+    opt-in experiment only; nothing in the repo enables it."""
 
     def grads_of(params, batch, rngs):
         def loss_fn(params):
@@ -154,6 +166,14 @@ def make_train_step(model: LinaModel, donate: bool = True,
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    if auto_layout:
+        from jax.experimental.layout import Format, Layout
+
+        fmt = Format(Layout.AUTO)
+        return jax.jit(train_step,
+                       donate_argnums=(0,) if donate else (),
+                       in_shardings=(fmt, None, None),
+                       out_shardings=(fmt, None))
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
