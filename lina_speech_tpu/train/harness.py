@@ -107,7 +107,8 @@ def _loss_and_metrics(model: LinaModel, params, batch: Dict[str, Any],
 
 def make_train_step(model: LinaModel, donate: bool = True,
                     grad_accum_steps: int = 1,
-                    auto_layout: bool = False) -> Callable:
+                    auto_layout: bool = False,
+                    hoist_param_cast: bool = False) -> Callable:
     """Build the jitted train step. Shard state/batch before calling; XLA
     propagates shardings and inserts dp-psum for grads and tp collectives.
 
@@ -124,7 +125,25 @@ def make_train_step(model: LinaModel, donate: bool = True,
     fails with a TPU ``InvalidArgument`` when reloaded from the persistent
     compilation cache (fresh compiles run fine; minimal AUTO-layout
     programs reload fine, the full train step does not). Kept as an
-    opt-in experiment only; nothing in the repo enables it."""
+    opt-in experiment only; nothing in the repo enables it.
+
+    ``hoist_param_cast=True`` (accum path only): casts the >=2D f32 params
+    to bf16 ONCE before the micro-batch scan and differentiates w.r.t. the
+    bf16 tree. XLA does not hoist the per-consumer f32->bf16 converts out
+    of the while body (verified in compiled HLO), so each micro-step
+    otherwise re-reads the f32 params (2x weight bytes) into its GEMMs.
+    Numerics: micro-grads are bf16-rounded before the f32 accumulation
+    (the fwd/bwd compute was already bf16 via promote_dtype)."""
+
+    def _split_cast(params):
+        """(bf16 tree for compute, f32 leaves to keep) — cast only >=2D
+        f32 leaves; norms/biases stay f32 exactly as promote_dtype leaves
+        them when modules run in bf16."""
+        def cast(p):
+            if p.dtype == jnp.float32 and p.ndim >= 2:
+                return p.astype(jnp.bfloat16)
+            return p
+        return jax.tree_util.tree_map(cast, params)
 
     def grads_of(params, batch, rngs):
         def loss_fn(params):
@@ -146,9 +165,13 @@ def make_train_step(model: LinaModel, donate: bool = True,
                 batch,
             )
 
+            loop_params = (_split_cast(state.params) if hoist_param_cast
+                           else state.params)
+
             def body(carry, mb):
                 grads_acc, metrics_acc = carry
-                (_, metrics), grads = grads_of(state.params, mb, rngs)
+                (_, metrics), grads = grads_of(loop_params, mb, rngs)
+                # jnp.add(f32, bf16) promotes: accumulation stays f32
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 metrics_acc = jax.tree_util.tree_map(jnp.add, metrics_acc, metrics)
                 return (grads_acc, metrics_acc), None
@@ -156,7 +179,7 @@ def make_train_step(model: LinaModel, donate: bool = True,
             zero_g = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
             mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
-            (_, m0), _ = jax.eval_shape(lambda p: grads_of(p, mb0, rngs), state.params)
+            (_, m0), _ = jax.eval_shape(lambda p: grads_of(p, mb0, rngs), loop_params)
             zero_m = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
             (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), micro)
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum_steps, grads)

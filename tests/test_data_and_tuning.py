@@ -101,6 +101,30 @@ def test_grad_accum_matches_full_batch():
     np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-3)
 
 
+def test_grad_accum_hoisted_cast_matches():
+    """hoist_param_cast=True (params cast to bf16 once before the accum
+    scan, harness.py) matches the default accum path: the fwd/bwd compute
+    was already bf16 via promote_dtype, so pre-rounding the >=2D params
+    changes nothing but the HBM traffic."""
+    model, params, _ = model_and_params()
+    gen = synthetic_tts_batches(
+        batch_size=4, n_quant=2, n_codebook=50, min_audio_len=8,
+        max_audio_len=8, pad_to_multiple=8,
+    )
+    batch = next(gen)
+    cfg = TrainConfig(n_warmup_steps=2, n_training_steps=10)
+    s1 = create_train_state(model, params, cfg)
+    s2 = create_train_state(model, params, cfg)
+    base = make_train_step(model, donate=False, grad_accum_steps=2)
+    hoist = make_train_step(model, donate=False, grad_accum_steps=2,
+                            hoist_param_cast=True)
+    _, m1 = base(s1, batch, jax.random.PRNGKey(0))
+    _, m2 = hoist(s2, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-3)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-2)
+
+
 def test_initial_state_tuning_loop_reduces_loss():
     model, params, _ = model_and_params()
     gen = synthetic_tts_batches(
