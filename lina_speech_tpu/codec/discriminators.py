@@ -137,7 +137,7 @@ def _complex_stft_chw(x: Array, n_fft: int, hop: int) -> Array:
     """(B, T) -> (B, frames, freq, 2) real/imag channels."""
     import numpy as np
 
-    win = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
+    win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
     xp = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     n_frames = 1 + (xp.shape[-1] - n_fft) // hop
     idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]

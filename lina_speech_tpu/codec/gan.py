@@ -75,9 +75,12 @@ def create_codec_gan(key, wavtok: WavTokenizer, mpd: MultiPeriodDiscriminator,
                      mrd: MultiResolutionDiscriminator, audio_example,
                      config: CodecGanConfig):
     k1, k2, k3 = jax.random.split(key, 3)
-    gen_params = wavtok.init(k1, audio_example)
-    mpd_params = mpd.init(k2, audio_example)
-    mrd_params = mrd.init(k3, audio_example)
+    # jit the inits: one compiled program each instead of hundreds of
+    # eager per-op dispatches (the axon remote-TPU tunnel makes eager
+    # init minutes-slow, and some eager ops are UNIMPLEMENTED there)
+    gen_params = jax.jit(wavtok.init)(k1, audio_example)
+    mpd_params = jax.jit(mpd.init)(k2, audio_example)
+    mrd_params = jax.jit(mrd.init)(k3, audio_example)
     # cosine-with-warmup LR on both optimizers, stepped per optimizer step
     # (reference experiment.py:100-111)
     from lina_speech_tpu.train.harness import cosine_schedule_with_warmup

@@ -29,7 +29,9 @@ class ISTFTHead(nn.Module):
         h = h.astype(jnp.float32).transpose(0, 2, 1)  # (B, n_fft+2, T)
         mag, p = jnp.split(h, 2, axis=1)
         mag = jnp.minimum(jnp.exp(mag), 1e2)
-        spec = mag * (jnp.cos(p) + 1j * jnp.sin(p))
+        # real/imag kept as separate float arrays: eager complex64 ops are
+        # UNIMPLEMENTED on the axon TPU backend (flax init runs eagerly)
+        spec = (mag * jnp.cos(p), mag * jnp.sin(p))
         return istft_same(spec, self.n_fft, self.hop_length)
 
 

@@ -63,7 +63,7 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
 def stft_mag(audio: Array, n_fft: int, hop: int, center: bool = True,
              power: float = 1.0) -> Array:
     """(B, T) -> (B, n_freqs, frames) magnitude**power, hann window."""
-    win = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
+    win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
     if center:
         audio = jnp.pad(audio, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     T = audio.shape[-1]
@@ -86,7 +86,7 @@ def mel_loss(
     hop: int = 256, n_mels: int = 100,
 ) -> Array:
     """log-mel L1 (reference MelSpecReconstructionLoss, loss.py:12-39)."""
-    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels))
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels).astype(np.float32))
     m1 = safe_log(jnp.einsum("bft,fm->bmt", stft_mag(y_hat, n_fft, hop), fb))
     m2 = safe_log(jnp.einsum("bft,fm->bmt", stft_mag(y, n_fft, hop), fb))
     return jnp.mean(jnp.abs(m1 - m2))

@@ -36,8 +36,8 @@ def mdct(audio: Array, frame_len: int, padding: str = "same") -> Array:
     T = audio.shape[-1]
     L = (T - frame_len) // N + 1
     idx = np.arange(L)[:, None] * N + np.arange(frame_len)[None, :]
-    frames = audio[:, idx] * jnp.asarray(_window(frame_len), jnp.float32)
-    basis = jnp.asarray(_basis(frame_len) * np.sqrt(2.0 / N), jnp.float32)
+    frames = audio[:, idx] * jnp.asarray(_window(frame_len).astype(np.float32))
+    basis = jnp.asarray((_basis(frame_len) * np.sqrt(2.0 / N)).astype(np.float32))
     return frames @ basis  # (B, L, N)
 
 
@@ -46,9 +46,9 @@ def imdct(coeffs: Array, padding: str = "same") -> Array:
     B, L, N = coeffs.shape
     frame_len = 2 * N
     # analysis scale * synthesis scale must equal 2/N for TDAC reconstruction
-    basis = jnp.asarray(_basis(frame_len).T * np.sqrt(2.0 / N), jnp.float32)
+    basis = jnp.asarray((_basis(frame_len).T * np.sqrt(2.0 / N)).astype(np.float32))
     frames = coeffs @ basis  # (B, L, 2N)
-    frames = frames * jnp.asarray(_window(frame_len), jnp.float32)
+    frames = frames * jnp.asarray(_window(frame_len).astype(np.float32))
 
     out_len = (L - 1) * N + frame_len
     pos = (np.arange(L)[:, None] * N + np.arange(frame_len)[None, :]).reshape(-1)

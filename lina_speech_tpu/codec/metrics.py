@@ -40,7 +40,7 @@ def log_spectral_distance(est: Array, ref: Array, n_fft: int = 1024,
 
 def mel_distance(est: Array, ref: Array, sample_rate: int = 24000,
                  n_fft: int = 1024, hop: int = 256, n_mels: int = 100) -> Array:
-    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels))
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels).astype(np.float32))
     me = safe_log(jnp.einsum("bft,fm->bmt", stft_mag(est, n_fft, hop), fb))
     mr = safe_log(jnp.einsum("bft,fm->bmt", stft_mag(ref, n_fft, hop), fb))
     return jnp.mean(jnp.abs(me - mr), axis=(1, 2))
