@@ -72,7 +72,7 @@ def main():
     else:
         cfg = load_config(os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "configs", "lina_gla_169m_convergence.yaml"))
+            "configs", "lina_gla_169m_convergence.yaml"))["model"]
     model = build_model(cfg)
 
     mk_batches = lambda speaker, seed: synthetic_tts_batches(
@@ -114,18 +114,26 @@ def main():
     base_loss = float(metrics["loss"]) if not args.ckpt_dir else float("nan")
 
     # ---- 2. held-out eval on the new speaker, zero S0 ----
+    # jitted: eager flagship forwards over the axon tunnel take minutes;
+    # synthetic batches pad to multiples of 64 so there are <=2 shape buckets
+    @jax.jit
+    def _eval_step(p, xt, ya, em, cm, ym, init_state):
+        _, loss, _ = model.apply(p, xt, ya, em, cm, logits_mask=ym,
+                                 init_state=init_state)
+        return loss
+
     def eval_loss(init_state):
         ls = []
         for batch in itertools.islice(mk_batches(args.speaker, 999),
                                       args.eval_batches):
-            _, loss, _ = model.apply(
+            loss = _eval_step(
                 params,
                 jnp.asarray(batch["text_token"]),
                 jnp.asarray(batch["audio_token"]),
                 jnp.asarray(batch["encoder_mask"]),
                 jnp.asarray(batch["crossatt_mask"]),
-                logits_mask=jnp.asarray(batch["y_mask"]),
-                init_state=init_state,
+                jnp.asarray(batch["y_mask"]),
+                init_state,
             )
             ls.append(float(loss))
         return float(np.mean(ls))
