@@ -490,8 +490,18 @@ class GatedLinearAttention(nn.Module):
     def step(self, x_t: Array, state: GLAState) -> Tuple[Array, GLAState]:
         """x_t: (b, d) one token; returns (o_t (b, d), new state)."""
         b = x_t.shape[0]
-        use_fused = self.kernel_mode == "chunk_pallas" or (
-            self.kernel_mode == "auto" and jax.default_backend() == "tpu"
+        # f32 recurrent state can't ride the fused decode kernels on TPU:
+        # at the 8-row minimum block (sublane multiple — smaller is illegal
+        # in the Pallas TPU lowering) the in+out state blocks measure
+        # 16.38 MB > the 16 MB scoped-VMEM budget. The XLA step is at the
+        # achievable-HBM-bandwidth floor anyway (BASELINE.md round-3
+        # decode analysis), so wide-state decode (e.g. f32 tuned S0 from
+        # train/initial_state.py) routes to the XLA path.
+        wide_state = (jnp.dtype(state.s.dtype).itemsize >= 4
+                      and jax.default_backend() == "tpu")
+        use_fused = not wide_state and (
+            self.kernel_mode == "chunk_pallas"
+            or (self.kernel_mode == "auto" and jax.default_backend() == "tpu")
         )
         h_t = x_t
         if (
