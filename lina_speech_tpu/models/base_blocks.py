@@ -45,17 +45,41 @@ def sdpa(
 
 
 class SwiGLU(nn.Module):
-    """SwiGLU MLP with hidden (d*4//3), gate first (base_blocks.py:42-50)."""
+    """SwiGLU MLP with hidden (d*4//3), gate first (base_blocks.py:42-50).
+
+    When both kernels have been tree-swapped to int8 pairs (decode loop,
+    utils/quantize.quantize_dense_params) the whole FFN runs as ONE fused
+    Pallas launch (ops/qlinear.fused_ffn_int8): the hidden activation never
+    reaches HBM and W_in|W_out stream through a single DMA pipeline —
+    b1 decode is weight-stream-bound. Opt-out: QLINEAR_FUSED_FFN=0."""
 
     d_model: int
     dtype: Any = jnp.float32
+    fused_quant: bool = __import__("os").environ.get(
+        "QLINEAR_FUSED_FFN", "1") == "1"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         hidden = self.d_model * 4 // 3
-        gx = QDense(hidden * 2, dtype=self.dtype, name="p_in")(x)
+        p_in = QDense(hidden * 2, dtype=self.dtype, name="p_in")
+        p_out = QDense(self.d_model, dtype=self.dtype, name="p_out")
+        if self.fused_quant and not self.is_initializing():
+            from lina_speech_tpu.ops.qlinear import (
+                QKEY, SKEY, fused_ffn_int8, is_quantized_leaf,
+            )
+
+            kin, bin_ = p_in(x, return_params=True)
+            kout, bout = p_out(
+                jnp.zeros(x.shape[:-1] + (hidden,), x.dtype),
+                return_params=True)
+            if is_quantized_leaf(kin) and is_quantized_leaf(kout):
+                return fused_ffn_int8(
+                    x, kin[QKEY], kin[SKEY], bin_,
+                    kout[QKEY], kout[SKEY], bout,
+                    out_dtype=self.dtype or jnp.bfloat16)
+        gx = p_in(x)
         gate, h = jnp.split(gx, 2, axis=-1)
-        return QDense(self.d_model, dtype=self.dtype, name="p_out")(nn.silu(gate) * h)
+        return p_out(nn.silu(gate) * h)
 
 
 class SelfAttention(nn.Module):

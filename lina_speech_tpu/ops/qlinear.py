@@ -36,6 +36,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from lina_speech_tpu.utils.quantize import QKEY, SKEY
 
@@ -148,6 +149,112 @@ def int8_linear(
     return out.reshape(*lead, q.shape[1])
 
 
+# ------------------------------------------------------- fused SwiGLU FFN
+def _ffn_kernel(x_ref, qg_ref, sg_ref, bg_ref, qh_ref, sh_ref, bh_ref,
+                qo_ref, o_ref, *, h_total, block_c):
+    """One hidden-chunk of a SwiGLU FFN GEMV: g/h slices of W_in are
+    contracted, silu(g)*h is formed in VMEM and immediately folded into the
+    W_out partial contraction — the hidden activation never reaches HBM and
+    all three weight streams ride one DMA pipeline (one launch per FFN
+    instead of two, the b1 decode cost is weight-stream bandwidth)."""
+    i = pl.program_id(0)
+    x = x_ref[:]
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    g = dot(x, qg_ref[:].astype(jnp.bfloat16))
+    g = g * sg_ref[:].astype(jnp.float32) + bg_ref[:].astype(jnp.float32)
+    h = dot(x, qh_ref[:].astype(jnp.bfloat16))
+    h = h * sh_ref[:].astype(jnp.float32) + bh_ref[:].astype(jnp.float32)
+    # match the unfused path's numerics: gx is cast to bf16 before the
+    # activation (QDense out_dtype), silu/mul ride the VPU in bf16
+    u = nn.silu(g.astype(jnp.bfloat16)) * h.astype(jnp.bfloat16)
+    col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1) + i * block_c
+    u = jnp.where(col < h_total, u, jnp.bfloat16(0))  # mask edge-pad chunk
+    part = dot(u, qo_ref[:].astype(jnp.bfloat16))
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[:] = part
+
+    @pl.when(i > 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + part
+
+
+def _ffn_block_c(hdim: int) -> int:
+    if hdim < 128:
+        return hdim  # single full-width block (block == array dim is legal)
+    for bc in (512, 256, 128):
+        if hdim % bc == 0:
+            return bc
+    return 512  # masked edge chunk (kernel zeroes columns >= hdim)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret"))
+def _fused_ffn_2d(x, qin, sin, bin_, qout, sout, bout, out_dtype, interpret):
+    m, d = x.shape
+    two_h = qin.shape[1]
+    hdim = two_h // 2
+    bc = _ffn_block_c(hdim)
+    # gate-first split (reference base_blocks.py:42-50). The slices are
+    # loop-invariant in a decode scan -> XLA hoists the copies out.
+    sin2 = sin.reshape(1, two_h).astype(jnp.float32)
+    bin2 = (jnp.zeros((1, two_h), jnp.float32) if bin_ is None
+            else bin_.reshape(1, two_h).astype(jnp.float32))
+    qg, qh = qin[:, :hdim], qin[:, hdim:]
+    sg, sh = sin2[:, :hdim], sin2[:, hdim:]
+    bg, bh = bin2[:, :hdim], bin2[:, hdim:]
+    o = pl.pallas_call(
+        functools.partial(_ffn_kernel, h_total=hdim, block_c=bc),
+        grid=(pl.cdiv(hdim, bc),),
+        in_specs=[
+            pl.BlockSpec((m, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, bc), lambda i: (0, i)),
+            pl.BlockSpec((1, bc), lambda i: (0, i)),
+            pl.BlockSpec((1, bc), lambda i: (0, i)),
+            pl.BlockSpec((d, bc), lambda i: (0, i)),
+            pl.BlockSpec((1, bc), lambda i: (0, i)),
+            pl.BlockSpec((1, bc), lambda i: (0, i)),
+            pl.BlockSpec((bc, d), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((m, d), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), qg, sg, bg, qh, sh, bh, qout)
+    y = o * sout.reshape(1, d).astype(jnp.float32)
+    if bout is not None:
+        y = y + bout.reshape(1, d).astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def fused_ffn_int8(
+    x: Array,
+    q_in: Array, s_in: Array, b_in: Optional[Array],
+    q_out: Array, s_out: Array, b_out: Optional[Array],
+    *,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """SwiGLU FFN over int8 weights in ONE kernel launch.
+
+    Computes ``silu(gate) * h @ dequant(q_out)`` where ``gate, h = split(
+    x @ dequant(q_in) + b_in, 2)`` — the W_in chunk dots, the activation
+    and the W_out partial accumulation all happen per hidden chunk inside
+    VMEM (reference base_blocks.py:42-50 semantics; the reference has no
+    quantized path). x: (..., d); q_in: (d, 2H) int8; q_out: (H, d) int8.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    y = _fused_ffn_2d(x.reshape(-1, d), q_in, s_in, b_in, q_out, s_out,
+                      b_out, out_dtype, interpret)
+    return y.reshape(*lead, q_out.shape[1])
+
+
 def int8_linear_ref(x, q, s, *, out_dtype=jnp.bfloat16, mode="wonly"):
     """XLA oracle used by tests and non-TPU fallbacks (same math)."""
     s2 = s.reshape(1, -1).astype(jnp.float32)
@@ -191,7 +298,7 @@ class QDense(nn.Module):
     quant_mode: str = __import__("os").environ.get("QLINEAR_MODE", "wonly")
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, *, return_params: bool = False):
         kernel = self.param(
             "kernel", self.kernel_init, (x.shape[-1], self.features),
             self.param_dtype,
@@ -201,6 +308,10 @@ class QDense(nn.Module):
                        self.param_dtype)
             if self.use_bias else None
         )
+        if return_params:
+            # fusion hook (SwiGLU fused FFN): hand the (possibly
+            # tree-swapped int8) leaves to the caller; x is shape-only
+            return kernel, bias
         if is_quantized_leaf(kernel):
             out_dtype = self.dtype or jnp.bfloat16
             # XLA's fused dequant-dot WINS on v5e for decode GEMVs

@@ -110,3 +110,58 @@ def test_generate_int8_matches_dequant_semantics():
     # overwhelming agreement
     agree = (np.asarray(r_fp.tokens) == np.asarray(r_q.tokens)).mean()
     assert agree > 0.8, agree
+
+
+# ---------------------------------------------------------- fused SwiGLU FFN
+def _ref_ffn(x, qin, sin, bin_, qout, sout, bout, dtype=jnp.bfloat16):
+    gx = int8_linear_ref(x, qin, sin, out_dtype=dtype)
+    if bin_ is not None:
+        gx = gx + jnp.asarray(bin_, dtype)
+    gate, h = jnp.split(gx, 2, axis=-1)
+    y = int8_linear_ref(nn.silu(gate) * h, qout, sout, out_dtype=dtype)
+    if bout is not None:
+        y = y + jnp.asarray(bout, dtype)
+    return y
+
+
+@pytest.mark.parametrize("m,d,hidden", [
+    (1, 64, 85),       # tiny: single full-width block (< 128 lanes)
+    (4, 256, 341),     # masked edge chunk (341 not a lane multiple)
+    (1, 128, 512),     # exact block split
+])
+def test_fused_ffn_matches_unfused(m, d, hidden):
+    from lina_speech_tpu.ops.qlinear import fused_ffn_int8
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    win = jax.random.normal(ks[0], (d, 2 * hidden)) * 0.05
+    wout = jax.random.normal(ks[1], (hidden, d)) * 0.05
+    bin_ = jax.random.normal(ks[2], (2 * hidden,)) * 0.01
+    bout = jax.random.normal(ks[3], (d,)) * 0.01
+    qi, qo = _quantize_leaf(win), _quantize_leaf(wout)
+    x = jax.random.normal(ks[4], (m, d)).astype(jnp.bfloat16)
+    y = fused_ffn_int8(x, qi[QKEY], qi[SKEY], bin_, qo[QKEY], qo[SKEY],
+                       bout, interpret=True)
+    y_ref = _ref_ffn(x, qi[QKEY], qi[SKEY], bin_, qo[QKEY], qo[SKEY], bout)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_swiglu_fused_dispatch_matches_unfused():
+    from lina_speech_tpu.models.base_blocks import SwiGLU
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 256)).astype(jnp.bfloat16)
+    mod_f = SwiGLU(256, dtype=jnp.bfloat16, fused_quant=True)
+    mod_u = SwiGLU(256, dtype=jnp.bfloat16, fused_quant=False)
+    p = mod_u.init(jax.random.PRNGKey(1), x)
+    pq = jax.jit(lambda t: quantize_dense_params(t, min_size=1))(p)
+    assert QKEY in pq["params"]["p_in"]["kernel"]
+    y_f = mod_f.apply(pq, x)
+    y_u = mod_u.apply(pq, x)
+    np.testing.assert_allclose(np.asarray(y_f, np.float32),
+                               np.asarray(y_u, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    # float tree: fused instance must fall through to the exact dense path
+    np.testing.assert_array_equal(
+        np.asarray(mod_f.apply(p, x), np.float32),
+        np.asarray(mod_u.apply(p, x), np.float32))
