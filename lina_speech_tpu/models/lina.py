@@ -14,6 +14,8 @@ Reference: model/modeling_lina.py. Differences forced by / exploited for TPU:
 """
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -71,7 +73,15 @@ class LinaModel(nn.Module):
     def _head(self, y_hat: Array) -> Array:
         if self.tie_embed:
             return self.rvq_embed.attend(y_hat)
-        return jnp.einsum("bnd,qld->bnql", y_hat, self.logits_weight.astype(self.dtype))
+        w = self.logits_weight
+        if isinstance(w, Mapping) and "int8_q" in w:
+            # tree-swapped int8 head (utils/quantize.py): the dequant is
+            # traced into the decode loop so XLA streams the int8 bytes
+            # and fuses the (q, l, 1) rescale into the contraction
+            w = w["int8_q"].astype(self.dtype) * w["int8_s"].astype(self.dtype)
+        else:
+            w = w.astype(self.dtype)
+        return jnp.einsum("bnd,qld->bnql", y_hat, w)
 
     def embed_tokens(self, y: Array) -> Array:
         """(q, b, n) token ids -> (b, n, d) summed quantizer embeddings."""

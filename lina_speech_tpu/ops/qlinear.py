@@ -44,7 +44,9 @@ Array = jnp.ndarray
 
 
 def is_quantized_leaf(node) -> bool:
-    return isinstance(node, dict) and QKEY in node
+    from collections.abc import Mapping  # flax may hand back FrozenDict
+
+    return isinstance(node, Mapping) and QKEY in node
 
 
 # ------------------------------------------------------------------ kernel

@@ -63,11 +63,16 @@ def quantize_dense_params(params, min_size: int = 1 << 16) -> Any:
         if isinstance(node, Mapping):
             return {
                 k: (_quantize_leaf(v)
-                    if (k == "kernel" and hasattr(v, "ndim") and v.ndim == 2
-                        # ShortConvolution also names its (dim, taps<=8)
-                        # filter "kernel" — a real Dense features axis is
-                        # always wider
-                        and v.shape[1] >= 32
+                    if (((k == "kernel" and hasattr(v, "ndim")
+                          and v.ndim == 2
+                          # ShortConvolution also names its (dim, taps<=8)
+                          # filter "kernel" — a real Dense features axis is
+                          # always wider
+                          and v.shape[1] >= 32)
+                         # per-quantizer logits head (q, l, d): dequant is
+                         # traced into the head einsum (models/lina.py:_head)
+                         or (k == "logits_weight" and hasattr(v, "ndim")
+                             and v.ndim == 3))
                         and jnp.issubdtype(v.dtype, jnp.floating)
                         and v.size >= min_size)
                     else walk(v))

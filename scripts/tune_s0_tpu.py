@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--ckpt-dir", type=str, default=None,
                     help="restore the base model instead of training")
+    ap.add_argument("--save-ckpt-dir", type=str, default=None,
+                    help="checkpoint the trained base model (so reruns "
+                         "can --ckpt-dir past the 400-step train)")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +114,12 @@ def main():
                 print(f"base step {i}: loss {float(metrics['loss']):.3f} "
                       f"({time.time()-t0:.0f}s)", flush=True)
         params = state.params
+        if args.save_ckpt_dir:
+            from lina_speech_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(os.path.abspath(args.save_ckpt_dir), params,
+                            step=args.train_steps)
+            print(f"saved base ckpt -> {args.save_ckpt_dir}", flush=True)
     base_loss = float(metrics["loss"]) if not args.ckpt_dir else float("nan")
 
     # ---- 2. held-out eval on the new speaker, zero S0 ----

@@ -72,15 +72,18 @@ def test_qdense_dispatches_on_quantized_tree():
                                   np.asarray(y_ref, np.float32))
 
 
-def test_quantize_dense_params_targets_only_2d_kernels():
+def test_quantize_dense_params_targets_kernels_and_head():
     tree = {
         "a": {"kernel": jnp.ones((64, 64)), "bias": jnp.ones((64,))},
         "head": {"logits_weight": jnp.ones((1, 300, 64))},
+        "embed": {"embedding": jnp.ones((2, 300, 64))},
         "small": {"kernel": jnp.ones((4, 4))},
     }
     out = quantize_dense_params(tree, min_size=1024)
     assert QKEY in out["a"]["kernel"]
-    assert out["head"]["logits_weight"].dtype == jnp.float32  # untouched
+    assert QKEY in out["head"]["logits_weight"]  # (q, l, d) head streams int8
+    assert out["head"]["logits_weight"][SKEY].shape == (1, 300, 1)
+    assert out["embed"]["embedding"].dtype == jnp.float32  # gathers stay fp
     assert out["small"]["kernel"].dtype == jnp.float32  # below min_size
     assert out["a"]["bias"].dtype == jnp.float32
 
