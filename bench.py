@@ -192,6 +192,7 @@ def main():
     }
 
     if (os.environ.get("BENCH_STATE_QUANT", "1") == "1" and batch > 1
+            and lazy > 0  # state_quant requires the lazy-window path
             and os.environ.get("BENCH_DECODE", "1") == "1"):
         # opt-in int8 recurrent-state decode (state_quant="int8"): b64 is
         # HBM-bound on the read-only base-state read (647 GB/s achievable,

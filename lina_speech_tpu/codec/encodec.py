@@ -228,8 +228,10 @@ def compress_audio(
                               overlap, normalize)
     blob = [
         _MAGIC,
-        struct.pack("<IIIBI", T, segment_length, len(frames),
-                    1 if normalize else 0, model.hop_length),
+        # overlap rides the header: decode MUST overlap-add at the same
+        # stride the encoder segmented with or frames land at wrong offsets
+        struct.pack("<IIIBIf", T, segment_length, len(frames),
+                    1 if normalize else 0, model.hop_length, overlap),
     ]
     for codes, scale in frames:
         c = np.asarray(codes[:, 0])  # (n_q, Tf)
@@ -246,16 +248,22 @@ def decompress_audio(
     lm_model,
     lm_params,
     blob: bytes,
-    overlap: float = 0.01,
 ) -> Array:
-    """Inverse of :func:`compress_audio` -> (1, T) waveform."""
-    import numpy as np
-
+    """Inverse of :func:`compress_audio` -> (1, T) waveform. The segment
+    overlap is read from the container header (not a caller knob — it must
+    match what compress used) and the stored hop is validated against the
+    model so a mismatched codec fails loudly instead of reconstructing at
+    the wrong frame rate."""
     from lina_speech_tpu.codec.lm import decompress as lm_decompress
 
     assert blob[:4] == _MAGIC, "bad container magic"
-    T, segment_length, n_frames, norm, hop = struct.unpack_from("<IIIBI", blob, 4)
-    off = 4 + struct.calcsize("<IIIBI")
+    T, segment_length, n_frames, norm, hop, overlap = struct.unpack_from(
+        "<IIIBIf", blob, 4)
+    if hop != model.hop_length:
+        raise ValueError(
+            f"container hop {hop} != model hop {model.hop_length}: "
+            "this blob was encoded with a different codec config")
+    off = 4 + struct.calcsize("<IIIBIf")
     frames: List[EncodedFrame] = []
     for _ in range(n_frames):
         tf, nbytes, s = struct.unpack_from("<IIf", blob, off)

@@ -55,15 +55,20 @@ class SwiGLU(nn.Module):
 
     d_model: int
     dtype: Any = jnp.float32
-    fused_quant: bool = __import__("os").environ.get(
-        "QLINEAR_FUSED_FFN", "1") == "1"
+    # None -> read QLINEAR_FUSED_FFN at call time (lazy so setting the env
+    # var after import still takes effect)
+    fused_quant: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         hidden = self.d_model * 4 // 3
         p_in = QDense(hidden * 2, dtype=self.dtype, name="p_in")
         p_out = QDense(self.d_model, dtype=self.dtype, name="p_out")
-        if self.fused_quant and not self.is_initializing():
+        fused_quant = self.fused_quant
+        if fused_quant is None:
+            fused_quant = __import__("os").environ.get(
+                "QLINEAR_FUSED_FFN", "1") == "1"
+        if fused_quant and not self.is_initializing():
             from lina_speech_tpu.ops.qlinear import (
                 QKEY, SKEY, fused_ffn_int8, is_quantized_leaf,
             )

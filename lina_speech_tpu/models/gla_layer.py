@@ -99,7 +99,7 @@ def gla_fold_lazy_state(state: GLAState) -> GLAState:
         return state.replace(s=s, s_scale=sc, cc=jnp.zeros_like(state.cc))
     from lina_speech_tpu.ops.gla import gla_decode_lazy_fold
 
-    s, *_ = gla_decode_lazy_fold(
+    s = gla_decode_lazy_fold(
         state.s, state.kbuf, state.vbuf, state.cbuf, state.cc)
     return state.replace(s=s, cc=jnp.zeros_like(state.cc))
 
@@ -279,8 +279,11 @@ class GatedLinearAttention(nn.Module):
         loop-invariant, so XLA hoists + materializes it once outside the
         token loop) turns 5 streams into 1. Column-independent dot ==
         exact same math as separate calls. Handles both float kernels and
-        the QDense {int8_q, int8_s} quantized pairs; mixed trees fall
-        back to separate calls.
+        the QDense {int8_q, int8_s} quantized pairs; mixed trees (the
+        1024x16 gk_proj_1 stays float under weight_quant="int8" —
+        quantize_dense_params skips narrow kernels) merge each dtype
+        group separately, so the int8 path still streams q|k|v|g as one
+        int8 GEMV plus one tiny float GEMV.
 
         Returns (q, k, v, g_for_output_gate, gk_low_rank_or_None).
         """
@@ -293,27 +296,33 @@ class GatedLinearAttention(nn.Module):
             mods.append(self.gk_proj_1)
         kernels = [m.variables["params"]["kernel"] for m in mods]
         quant = [is_quantized_leaf(kk) for kk in kernels]
-        if all(quant):
-            qcat = jnp.concatenate([kk[QKEY] for kk in kernels], axis=1)
+        qidx = [i for i, isq in enumerate(quant) if isq]
+        fidx = [i for i, isq in enumerate(quant) if not isq]
+
+        def split_cols(y, idxs):
+            widths = [kernels[i][QKEY].shape[1] if quant[i]
+                      else kernels[i].shape[1] for i in idxs]
+            cuts, acc = [], 0
+            for wdt in widths[:-1]:
+                acc += wdt
+                cuts.append(acc)
+            return jnp.split(y, cuts, axis=-1)
+
+        outs = [None] * len(mods)
+        if qidx:
+            qcat = jnp.concatenate([kernels[i][QKEY] for i in qidx], axis=1)
             scat = jnp.concatenate(
-                [kk[SKEY].reshape(1, -1) for kk in kernels], axis=1)
+                [kernels[i][SKEY].reshape(1, -1) for i in qidx], axis=1)
             y = int8_linear_ref(x, qcat, scat,
                                 out_dtype=self.dtype or jnp.bfloat16)
-        elif not any(quant):
-            wcat = jnp.concatenate([jnp.asarray(kk) for kk in kernels],
+            for i, o in zip(qidx, split_cols(y, qidx)):
+                outs[i] = o
+        if fidx:
+            wcat = jnp.concatenate([jnp.asarray(kernels[i]) for i in fidx],
                                    axis=1)
             x2, wcat = nn.dtypes.promote_dtype(x, wcat, dtype=self.dtype)
-            y = x2 @ wcat
-        else:
-            outs = [m(x) for m in mods]
-            return (*outs, None) if self.scalar_gate else tuple(outs)
-        widths = [kk[QKEY].shape[1] if isq else kk.shape[1]
-                  for kk, isq in zip(kernels, quant)]
-        cuts, acc = [], 0
-        for wdt in widths[:-1]:
-            acc += wdt
-            cuts.append(acc)
-        outs = jnp.split(y, cuts, axis=-1)
+            for i, o in zip(fidx, split_cols(x2 @ wcat, fidx)):
+                outs[i] = o
         return (*outs, None) if self.scalar_gate else tuple(outs)
 
     def _gates_from_low_rank(self, x: Array, gk1, reset_mask, reset_val):

@@ -168,17 +168,22 @@ def gla_decode_lazy_fold(
     vbuf: Array,
     cbuf: Array,
     cc: Array,
-) -> Tuple[Array, Array, Array, Array, Array]:
+) -> Array:
     """Fold a full window of buffered tokens into the base state
     (one state read+write per L tokens): S = exp(cc) * S + sum_j
-    (k_j * exp(cc - c_j))^T v_j — the chunk-scan state update."""
+    (k_j * exp(cc - c_j))^T v_j — the chunk-scan state update.
+
+    Returns the new state only. Buffers deliberately stay STALE (the
+    caller resets ``cc`` to zero; :func:`gla_decode_lazy_step` masks
+    slots ``j > p``, and every slot is rewritten before the next fold) —
+    zeroing them would cost 5 MB/layer-fold of pointless HBM writes.
+    This function must only be called on a FULL window (p == L-1)."""
     out_dtype = s_base.dtype
     dec = jnp.exp(jnp.minimum(cc[None] - cbuf.astype(jnp.float32), 0.0))
     s = jnp.exp(cc)[..., None] * s_base.astype(jnp.float32) + jnp.einsum(
         "lbhk,lbhv->bhkv", kbuf.astype(jnp.float32) * dec,
         vbuf.astype(jnp.float32))
-    return (s.astype(out_dtype), jnp.zeros_like(kbuf), jnp.zeros_like(vbuf),
-            jnp.zeros_like(cbuf), jnp.zeros_like(cc))
+    return s.astype(out_dtype)
 
 
 def quantize_state_rows(s: Array) -> Tuple[Array, Array]:

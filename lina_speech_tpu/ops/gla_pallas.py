@@ -2018,8 +2018,10 @@ def gla_fold_fused(
 ) -> Array:
     """Fused lazy-window fold (contract of ops.gla.gla_decode_lazy_fold's
     state update): S <- exp(cc) * S + (k*dec)^T v, rank-L update on the MXU,
-    one state read + one write. Returns the new state only (buffers are
-    zeroed by the caller)."""
+    one state read + one write. Returns the new state only; buffers stay
+    STALE by contract (the caller resets cc; the step masks slots j > p
+    and every slot is rewritten before the next fold), so it must only be
+    called on a full window."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _gla_lazy_fold_partitioned(interpret, donate)(

@@ -30,6 +30,7 @@ quantized path at all — this is a capability beyond
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -296,8 +297,10 @@ class QDense(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros_init()
-    # env default lets benches A/B the kernel mode without re-plumbing
-    quant_mode: str = __import__("os").environ.get("QLINEAR_MODE", "wonly")
+    # "" -> read QLINEAR_MODE at call time (benches A/B the kernel mode
+    # without re-plumbing; read lazily so setting the env var after import
+    # still takes effect)
+    quant_mode: str = ""
 
     @nn.compact
     def __call__(self, x: Array, *, return_params: bool = False):
@@ -316,22 +319,23 @@ class QDense(nn.Module):
             return kernel, bias
         if is_quantized_leaf(kernel):
             out_dtype = self.dtype or jnp.bfloat16
+            mode = self.quant_mode or os.environ.get("QLINEAR_MODE", "wonly")
             # XLA's fused dequant-dot WINS on v5e for decode GEMVs
             # (probe_qlinear: 297 us vs 348 pallas / 323 native-int8-dot
             # for a 25-layer b1 chain — kernel-launch + M=1 pipeline
             # overheads outweigh explicit streaming). The Pallas kernel
             # stays behind QLINEAR_MODE=pallas-wonly / pallas-w8a8.
-            if self.quant_mode.startswith("pallas") and \
-                    jax.default_backend() != "cpu":
+            base_mode = mode.split("-", 1)[1] if mode.startswith("pallas") \
+                else mode
+            if mode.startswith("pallas") and jax.default_backend() != "cpu":
                 y = int8_linear(x, kernel[QKEY], kernel[SKEY],
-                                out_dtype=out_dtype,
-                                mode=self.quant_mode.split("-", 1)[1])
+                                out_dtype=out_dtype, mode=base_mode)
             else:
+                # CPU / non-pallas: the XLA oracle with the SAME numerics
+                # class (w8a8 keeps activation quantization) so CPU parity
+                # runs reflect what the TPU kernel actually computes.
                 y = int8_linear_ref(x, kernel[QKEY], kernel[SKEY],
-                                    out_dtype=out_dtype,
-                                    mode=self.quant_mode
-                                    if not self.quant_mode.startswith(
-                                        "pallas") else "wonly")
+                                    out_dtype=out_dtype, mode=base_mode)
             if bias is not None:
                 y = y + jnp.asarray(bias, out_dtype)
             return y

@@ -144,13 +144,11 @@ class DecodeServer:
             # (ops/qlinear.py) streams them through the native int8 Pallas
             # GEMV in every program (decode steps AND prefill)
             self._dev_params = quantize_dense_params(params, min_size=quant_min_size)
-            self._materialize = lambda tree: tree
             del params
         elif weight_quant is not None:
             raise ValueError(f"unknown weight_quant {weight_quant!r}")
         else:
             self._dev_params = params
-            self._materialize = lambda tree: tree
 
         d = model.d_model
         m = max_text_len
@@ -170,8 +168,7 @@ class DecodeServer:
 
     # ------------------------------------------------------------ jitted
     def _encode_text_impl(self, dev_params, x, enc_mask):
-        params = self._materialize(dev_params)
-        return self.model.apply(params, x, enc_mask,
+        return self.model.apply(dev_params, x, enc_mask,
                                 method=LinaModel.encode_text)
 
     def _prefill_chunk_impl(self, dev_params, x_enc, ca_mask, codes_chunk,
@@ -181,7 +178,7 @@ class DecodeServer:
         consumes its conv rings mid-stream). Returns (tokens (1, c, q),
         new_state)."""
         model = self.model
-        params = self._materialize(dev_params)
+        params = dev_params
         emb = model.apply(params, codes_chunk,
                           method=LinaModel.embed_tokens)  # (1, c, d)
         c = emb.shape[1]
@@ -201,8 +198,7 @@ class DecodeServer:
 
     def _embed_one_impl(self, dev_params, toks):
         """toks: (1, q) -> (1, d) next-step input embedding."""
-        params = self._materialize(dev_params)
-        return self.model.apply(params, toks.T[:, :, None],
+        return self.model.apply(dev_params, toks.T[:, :, None],
                                 method=LinaModel.embed_tokens)[:, 0]
 
     def _insert_impl(self, batch_state, one_state, x_enc_b, x_enc1, ca_b,
@@ -227,10 +223,9 @@ class DecodeServer:
                            t, key):
         model = self.model
         k, temp, fgq, approx = self.sample_args
-        # materialize INSIDE the traced body from the argument tree: in int8
-        # mode XLA streams the int8 leaves each step (nothing constant-folds
-        # — the tree is an input, not a closure-captured constant)
-        lp = self._materialize(dev_params)
+        # dev_params is a jit ARGUMENT (not a closure constant): in int8
+        # mode XLA streams the int8 leaves each step, nothing constant-folds
+        lp = dev_params
 
         def step(carry, kk):
             state, y_embd, t = carry

@@ -225,7 +225,7 @@ def main():
         def many_xfold(S, kb1, vb1, cb1, cc):
             def it(S, _):
                 S = [gla_decode_lazy_fold(S[l], kb1, vb1, cb1,
-                                          cc[l] - 0.05)[0]
+                                          cc[l] - 0.05)
                      for l in range(NL)]
                 return S, None
             S, _ = jax.lax.scan(it, S, None, length=args.iters)

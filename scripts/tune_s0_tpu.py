@@ -104,6 +104,7 @@ def main():
         train_step = make_train_step(model)
         rng = jax.random.PRNGKey(2)
         t0 = time.time()
+        metrics = {"loss": float("nan")}  # in case --train-steps 0
         for i, batch in enumerate(mk_batches(0, 0)):
             if i >= args.train_steps:
                 break

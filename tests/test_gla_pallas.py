@@ -397,7 +397,7 @@ def _lazy_ref_window(args, L):
             q.reshape(b, h, dk), k.reshape(b, h, dk), v.reshape(b, h, dv),
             gks[p], state, kbuf, vbuf, cbuf, cc, jnp.int32(p))
         os.append(o)
-    s, *_ = gla_decode_lazy_fold(state, kbuf, vbuf, cbuf, cc)
+    s = gla_decode_lazy_fold(state, kbuf, vbuf, cbuf, cc)
     return os, s
 
 

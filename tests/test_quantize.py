@@ -83,3 +83,34 @@ def test_quantized_decode_composes_with_lazy_window():
     toks = np.asarray(out.tokens)
     assert toks.shape == (cfg.n_quant, 2, 16)
     assert (toks >= 0).all()
+
+
+def test_mixed_quant_merged_projection_parity():
+    """Flagship-shaped int8 tree: q/k/v/g kernels quantize but the narrow
+    (d, 16) gk_proj_1 stays float (quantize_dense_params skips width < 32).
+    _proj_qkvg must still merge the int8 group into ONE stream and match
+    the per-module outputs exactly (same int8_linear_ref math)."""
+    from lina_speech_tpu.models.gla_layer import GatedLinearAttention
+    from lina_speech_tpu.ops.qlinear import QKEY, is_quantized_leaf
+    from lina_speech_tpu.utils.quantize import quantize_dense_params
+
+    layer = GatedLinearAttention(hidden_size=64, num_heads=2,
+                                 use_short_conv=False, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64))
+    params = layer.init(jax.random.PRNGKey(1), x[:, None, :])
+    qparams = quantize_dense_params(params, min_size=1 << 8)
+    pq = qparams["params"]
+    # the premise: mixed tree (q/k/v/g int8, gk_proj_1 float)
+    for name in ("q_proj", "k_proj", "v_proj", "g_proj"):
+        assert is_quantized_leaf(pq[name]["kernel"]), name
+    assert not is_quantized_leaf(pq["gk_proj_1"]["kernel"])
+
+    bound = layer.bind(qparams)
+    q, k, v, g, gk1 = bound._proj_qkvg(x)
+    # oracle: per-module QDense applications on the same tree
+    want = [bound.q_proj(x), bound.k_proj(x), bound.v_proj(x),
+            bound.g_proj(x), bound.gk_proj_1(x)]
+    for got, exp, name in zip((q, k, v, g, gk1), want,
+                              ("q", "k", "v", "g", "gk1")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
