@@ -56,7 +56,7 @@ def _bench_decode(model, params, cfg, batch: int, steps: int, text_len: int,
 
 
 def _bench_train(cfg, batch: int, seqlen: int, text_len: int, steps: int,
-                 accum: int = 1):
+                 accum: int = 1, hoist_cast: bool = False):
     from lina_speech_tpu.config import build_model
     from lina_speech_tpu.train import TrainConfig, create_train_state, make_train_step
 
@@ -79,7 +79,8 @@ def _bench_train(cfg, batch: int, seqlen: int, text_len: int, steps: int,
     # NB auto_layout=True (AUTO entry layouts) measured only +0.5% here
     # AND its executable breaks when reloaded from the persistent compile
     # cache (TPU InvalidArgument at run) — stays off; see make_train_step
-    train_step = make_train_step(model, grad_accum_steps=accum)
+    train_step = make_train_step(model, grad_accum_steps=accum,
+                                 hoist_param_cast=hoist_cast)
     rng = jax.random.PRNGKey(2)
 
     # compile + 2 warmup steps
@@ -240,7 +241,11 @@ def main():
         tl = int(os.environ.get("BENCH_TRAIN_LEN", "512"))
         ts = int(os.environ.get("BENCH_TRAIN_STEPS", "8"))
         ta = int(os.environ.get("BENCH_TRAIN_ACCUM", "4"))
-        train_tok_s, step_s = _bench_train(cfg, tb, tl, text_len, ts, accum=ta)
+        # BENCH_HOIST=1: cast f32 params to bf16 ONCE before the micro-batch
+        # scan instead of per micro-step (train/harness.py hoist_param_cast)
+        th = os.environ.get("BENCH_HOIST", "0") == "1"
+        train_tok_s, step_s = _bench_train(cfg, tb, tl, text_len, ts,
+                                           accum=ta, hoist_cast=th)
         extra.append({
             "metric": "train_tokens_per_sec_per_chip",
             "value": round(train_tok_s, 0),
@@ -248,6 +253,7 @@ def main():
             # round-1 measured baseline: 28,240 tok/s/chip (BASELINE.md)
             "vs_baseline": round(train_tok_s / 28240.0, 3),
             "detail": {"batch": tb, "seqlen": tl, "accum": ta,
+                       "hoist_param_cast": th,
                        "ms_per_step": round(step_s * 1e3, 1)},
         })
 
