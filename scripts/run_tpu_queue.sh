@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-3 TPU-gated queue (see VERDICT.md r2 items #2, #3, #8).
+# Runs everything SERIALLY — never run two TPU processes at once: the axon
+# tunnel serializes them and both stall (CLAUDE.md).
+#
+# Logs land in /tmp/tpuq/. Each phase records its exit code; a phase
+# failure does not abort the queue (later phases are independent).
+set -u
+cd /root/repo
+mkdir -p /tmp/tpuq
+Q=/tmp/tpuq
+
+phase() {
+  local name="$1"; shift
+  echo "=== $name start $(date -u) ===" >> "$Q/queue.log"
+  "$@" > "$Q/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name done rc=$rc $(date -u) ===" >> "$Q/queue.log"
+  echo "$rc" > "$Q/$name.rc"
+}
+
+# 1. b1 (+int8) decode bench — VERDICT #2 target >=1000 tok/s b1-int8.
+#    First run since the fused int8 SwiGLU FFN, quantized logits head and
+#    the mixed-quant merged-projection fix: expect a fresh (slow) compile.
+#    batch=2 keeps the main phase cheap while enabling the b1/b1-int8
+#    extras (bench.py gates them on batch > 1).
+phase b1_bench env BENCH_STEPS=256 BENCH_BATCH=2 BENCH_LAZY=0 \
+  BENCH_STATE_QUANT=0 BENCH_TRAIN=0 BENCH_CODEC=0 python bench.py
+
+# 2. Train-throughput probe with hoist_param_cast on vs off — VERDICT #3.
+phase train_hoist env BENCH_DECODE=0 BENCH_B1=0 BENCH_STATE_QUANT=0 \
+  BENCH_CODEC=0 BENCH_HOIST=1 BENCH_TRAIN_STEPS=16 python bench.py
+phase train_nohoist env BENCH_DECODE=0 BENCH_B1=0 BENCH_STATE_QUANT=0 \
+  BENCH_CODEC=0 BENCH_HOIST=0 BENCH_TRAIN_STEPS=16 python bench.py
+
+# 3. S0-tuning end-to-end clean run (VERDICT #8) — long (~30-40 min).
+#    The 18:06 partial run already produced the headline numbers
+#    (BASELINE.md); this validates the full pipeline incl. generate_batch.
+phase s0_e2e python scripts/tune_s0_tpu.py --save-ckpt-dir /tmp/s0_base_ckpt
+
+# 4. Full default bench sanity (what the driver will run at round end).
+phase full_bench env BENCH_STEPS=256 python bench.py
+
+echo "QUEUE COMPLETE $(date -u)" >> "$Q/queue.log"
