@@ -98,12 +98,16 @@ EncodedFrame = Tuple[Array, Optional[Array]]  # (codes (n_q, B, Tf), scale (B,))
 @functools.lru_cache(maxsize=8)
 def _frame_fns(model: EncodecModel, normalize: bool):
     @jax.jit
-    def enc(params, frame):
+    def enc(params, frame, valid):
         # loudness normalization per segment (reference model.py:152-157;
-        # mono input, so volume == RMS of the frame)
+        # mono input, so volume == RMS of the frame). The RMS divides by
+        # ``valid`` (the unpadded sample count) — the reference computes
+        # volume on the unpadded frame, so a zero-padded final segment must
+        # not dilute it (ADVICE r3 #2).
         if normalize:
-            volume = jnp.sqrt(jnp.mean(
-                frame.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+            sq = jnp.sum(frame.astype(jnp.float32) ** 2, axis=-1,
+                         keepdims=True)
+            volume = jnp.sqrt(sq / valid)
             scale = 1e-8 + volume
             frame = (frame / scale).astype(frame.dtype)
         else:
@@ -145,7 +149,7 @@ def encode_segmented(
         valid = seg.shape[-1]
         if valid < segment_length:
             seg = jnp.pad(seg, ((0, 0), (0, segment_length - valid)))
-        codes, scale = enc(params, seg)
+        codes, scale = enc(params, seg, jnp.asarray(valid, jnp.float32))
         n_frames = min(-(-valid // hop), codes.shape[-1])
         frames.append((codes[..., :n_frames], scale))
     return frames

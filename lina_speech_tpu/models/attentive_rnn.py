@@ -175,6 +175,7 @@ class EncoderCrossDecoder(nn.Module):
         attention_only: bool = False,
         conv_history: bool = False,
         time_offset: int | Array = 0,
+        crossatt_pos_valid: Optional[Array] = None,
     ):
         """x: (b, t, d) audio-embedding stream; ctx: (b, m, d) text encoding.
 
@@ -215,10 +216,12 @@ class EncoderCrossDecoder(nn.Module):
             v = jnp.einsum("bmn,bmd->bnd", forced_attention, ctx_v)
             att = forced_attention
         elif self._has_stateful_crossatt:
+            pv_kw = ({"pos_valid": crossatt_pos_valid}
+                     if (crossatt_pos_valid is not None and self.blind) else {})
             v, att, ca_final = self.cross_att(
                 x, ctx, mask=mask, pos=crossatt_pos, pos_net_state=ca_state,
                 reset_mask=reset_mask, time_step=time_offset,
-                return_weights=return_att, **hist_kw,
+                return_weights=return_att, **hist_kw, **pv_kw,
             )
         else:
             v, att = self.cross_att(x, ctx, mask=mask, time_step=time_offset,
@@ -246,6 +249,7 @@ class EncoderCrossDecoder(nn.Module):
         crossatt_pos: Optional[Array] = None,
         time_step: Optional[Array] = None,
         lazy_p: Optional[Array] = None,
+        crossatt_pos_valid: Optional[Array] = None,
     ):
         """y_embd: (b, d) current token embedding; x_enc: (b, m, d).
 
@@ -262,9 +266,11 @@ class EncoderCrossDecoder(nn.Module):
             y_embd, layers[i] = run(blk, y_embd, layers[i])
 
         if self._has_stateful_crossatt:
+            pv_kw = ({"pos_valid": crossatt_pos_valid}
+                     if (crossatt_pos_valid is not None and self.blind) else {})
             v, att, pos_net_state = self.cross_att.step(
                 y_embd, x_enc, state.pos_net, mask=mask, pos=crossatt_pos,
-                time_step=time_step, lazy_p=lazy_p,
+                time_step=time_step, lazy_p=lazy_p, **pv_kw,
             )
         else:
             v, att = self.cross_att(
@@ -393,7 +399,10 @@ class InterleavedCrossAtt(nn.Module):
                  crossatt_pos=None, return_att: bool = False,
                  output_final_state: bool = False, deterministic: bool = True,
                  forced_attention=None, attention_only: bool = False,
-                 conv_history: bool = False, time_offset: int | Array = 0):
+                 conv_history: bool = False, time_offset: int | Array = 0,
+                 crossatt_pos_valid=None):
+        # crossatt_pos_valid accepted for signature parity; the interleaved
+        # variants use plain CrossAttention (no positional values to mask)
         use_state = init_state is not None or output_final_state
         if init_state is None and use_state:
             init_state = self.empty_state(x.shape[0])
@@ -423,7 +432,7 @@ class InterleavedCrossAtt(nn.Module):
         return x, att
 
     def step(self, y_embd, x_enc, state: BackboneState, mask=None, crossatt_pos=None,
-             time_step=None, lazy_p=None):
+             time_step=None, lazy_p=None, crossatt_pos_valid=None):
         idx = {k: i for i, k in enumerate(self.cross_att_layers)}
         layers = list(state.layers)
         atts = []

@@ -51,7 +51,12 @@ class SwiGLU(nn.Module):
     utils/quantize.quantize_dense_params) the whole FFN runs as ONE fused
     Pallas launch (ops/qlinear.fused_ffn_int8): the hidden activation never
     reaches HBM and W_in|W_out stream through a single DMA pipeline —
-    b1 decode is weight-stream-bound. Opt-out: QLINEAR_FUSED_FFN=0."""
+    b1 decode is weight-stream-bound. Opt-out: QLINEAR_FUSED_FFN=0.
+
+    The fused kernel computes weight-only (bf16-activation) numerics, so
+    it only dispatches when the effective QLINEAR_MODE is a wonly variant;
+    w8a8 / pallas-w8a8 fall through to the two QDense calls, keeping one
+    consistent numerics class across the whole quantized forward."""
 
     d_model: int
     dtype: Any = jnp.float32
@@ -64,10 +69,14 @@ class SwiGLU(nn.Module):
         hidden = self.d_model * 4 // 3
         p_in = QDense(hidden * 2, dtype=self.dtype, name="p_in")
         p_out = QDense(self.d_model, dtype=self.dtype, name="p_out")
+        import os
+
         fused_quant = self.fused_quant
         if fused_quant is None:
-            fused_quant = __import__("os").environ.get(
-                "QLINEAR_FUSED_FFN", "1") == "1"
+            fused_quant = os.environ.get("QLINEAR_FUSED_FFN", "1") == "1"
+        mode = os.environ.get("QLINEAR_MODE", "wonly")
+        if mode.split("-", 1)[-1] != "wonly":
+            fused_quant = False  # fused kernel is weight-only numerics
         if fused_quant and not self.is_initializing():
             from lina_speech_tpu.ops.qlinear import (
                 QKEY, SKEY, fused_ffn_int8, is_quantized_leaf,

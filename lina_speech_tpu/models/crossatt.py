@@ -49,7 +49,16 @@ class SinPos(nn.Module):
 
 
 class ConvPos(nn.Module):
-    """Learned positions + depthwise conv smoothing (crossatt.py:21-32)."""
+    """Learned positions + depthwise conv smoothing (crossatt.py:21-32).
+
+    ``valid`` ((b, p) bool, optional) zeroes the conv INPUT at padded
+    positions, so for any valid prefix the SAME-padded conv output equals
+    an unpadded run of that length exactly (the zeroed tail is what SAME
+    padding would have supplied). Slot-based serving mixes text lengths in
+    one padded batch; without this the non-causal 31-tap window sees
+    learned embeddings of positions past the text tail and server output
+    diverges from generate_batch near the end of the text.
+    """
 
     dim: int
     max_seq_len: int = 2000
@@ -57,8 +66,10 @@ class ConvPos(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pos: Array) -> Array:
+    def __call__(self, pos: Array, valid: Optional[Array] = None) -> Array:
         emb = nn.Embed(self.max_seq_len, self.dim, dtype=self.dtype, name="embed")(pos)
+        if valid is not None:
+            emb = jnp.where(valid[..., None], emb, jnp.zeros((), emb.dtype))
         kernel = self.param(
             "conv_kernel", nn.initializers.lecun_normal(), (self.kernel_size, 1, self.dim), jnp.float32
         )
@@ -159,6 +170,13 @@ class BlindCrossAttention(nn.Module):
         else:
             raise ValueError(f"unknown pos_type {self.pos_type}")
 
+    def _pos_emb(self, pos: Array, pos_valid: Optional[Array]) -> Array:
+        """Positional values; ``pos_valid`` only matters for ConvPos (the
+        sinusoidal embedding is per-position, hence padding-invariant)."""
+        if pos_valid is not None and self.pos_type == "convolutional":
+            return self.pos_embed(pos, valid=pos_valid)
+        return self.pos_embed(pos)
+
     def _proj(self, q, k, time_step=None):
         qq = self.ln_q(self.q(q))
         vv = self.ln_v(self.v(k))
@@ -185,19 +203,22 @@ class BlindCrossAttention(nn.Module):
         time_step: Optional[Array] = None,
         return_weights: bool = False,
         conv_history: bool = False,
+        pos_valid: Optional[Array] = None,
     ):
         """Full-sequence path. Returns (out, att, pos_net_final_state).
 
         ``time_step`` offsets the rotary query positions (mid-stream chunked
         prefill); ``conv_history`` makes the pos_net consume its incoming
-        conv rings as causal history (see GatedLinearAttention)."""
+        conv rings as causal history (see GatedLinearAttention);
+        ``pos_valid`` ((b, j) bool) makes ConvPos padding-exact for mixed
+        text lengths (see :class:`ConvPos`)."""
         qh, kh, vh = self._proj(q, k, time_step=time_step)
         b, _, j, _ = kh.shape
         if mask is not None and mask.ndim == 3:
             mask = mask[:, None]
         if pos is None:
             pos = jnp.arange(j)[None, :]
-        pos_emb = self.pos_embed(pos).astype(qh.dtype)
+        pos_emb = self._pos_emb(pos, pos_valid).astype(qh.dtype)
         pe = jnp.broadcast_to(pos_emb[:, None], (b, 1, j, pos_emb.shape[-1]))
 
         x, att1 = sdpa(qh, kh, pe, mask=mask, return_weights=return_weights)
@@ -225,6 +246,7 @@ class BlindCrossAttention(nn.Module):
         pos: Optional[Array] = None,
         time_step: Optional[Array] = None,
         lazy_p: Optional[Array] = None,
+        pos_valid: Optional[Array] = None,
     ):
         """One decode token. q_t: (b, d); k: (b, j, d_k). Returns
         (out (b, d_att), att (b, 2, j), new_pos_net_state)."""
@@ -232,7 +254,7 @@ class BlindCrossAttention(nn.Module):
         b, _, j, _ = kh.shape
         if pos is None:
             pos = jnp.arange(j)[None, :]
-        pos_emb = self.pos_embed(pos).astype(qh.dtype)
+        pos_emb = self._pos_emb(pos, pos_valid).astype(qh.dtype)
         pe = jnp.broadcast_to(pos_emb[:, None], (b, 1, j, pos_emb.shape[-1]))
         if mask is not None and mask.ndim == 3:
             mask = mask[:, None]

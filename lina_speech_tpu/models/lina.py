@@ -161,6 +161,7 @@ class LinaModel(nn.Module):
         time_step: Optional[Array] = None,
         lazy_p: Optional[Array] = None,
         crossatt_mask: Optional[Array] = None,
+        crossatt_pos_valid: Optional[Array] = None,
     ):
         """One AR token: backbone step + per-quantizer logits.
 
@@ -168,12 +169,17 @@ class LinaModel(nn.Module):
         selects the lazy micro-chunk decode path (read-only recurrent
         states + window buffers; see generate.py lazy_window).
         ``crossatt_mask`` (b, 1, m) hides padded text positions (slot-based
-        serving mixes different text lengths in one batch).
+        serving mixes different text lengths in one batch);
+        ``crossatt_pos_valid`` (b, m) additionally makes ConvPos
+        padding-exact (see models/crossatt.py ConvPos).
         """
+        kw = {}
+        if crossatt_pos_valid is not None:
+            kw["crossatt_pos_valid"] = crossatt_pos_valid
         y, att, state = self.attentive_rnn.step(
             y_embd, x_enc, state, mask=crossatt_mask,
             crossatt_pos=crossatt_pos,
-            time_step=time_step, lazy_p=lazy_p,
+            time_step=time_step, lazy_p=lazy_p, **kw,
         )
         logits = self._head(y[:, None])[:, 0]  # (b, q, l)
         return logits, att, state
@@ -188,6 +194,7 @@ class LinaModel(nn.Module):
         crossatt_mask: Optional[Array] = None,
         conv_history: bool = False,
         time_offset: int | Array = 0,
+        crossatt_pos_valid: Optional[Array] = None,
     ):
         """Chunk-parallel prefill of (b, t, d) forced embeddings.
 
@@ -204,6 +211,8 @@ class LinaModel(nn.Module):
             kw["conv_history"] = True
         if not (isinstance(time_offset, int) and time_offset == 0):
             kw["time_offset"] = time_offset
+        if crossatt_pos_valid is not None:
+            kw["crossatt_pos_valid"] = crossatt_pos_valid
         y_hat, att, final_state = self.attentive_rnn(
             y_embd, x_enc, mask=crossatt_mask, init_state=state,
             crossatt_pos=crossatt_pos,

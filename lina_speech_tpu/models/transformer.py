@@ -127,7 +127,8 @@ class TransformerCrossAtt(nn.Module):
     def __call__(self, x, ctx, mask=None, reset_mask=None, init_state=None,
                  crossatt_pos=None, return_att: bool = False,
                  output_final_state: bool = False, deterministic: bool = True,
-                 conv_history: bool = False, time_offset: int | Array = 0):
+                 conv_history: bool = False, time_offset: int | Array = 0,
+                 crossatt_pos_valid=None):
         """``conv_history=True`` (name shared with the recurrent backbones'
         mid-stream contract) continues from ``init_state``'s fixed KV
         buffers: this chunk's keys/values land at position ``t`` and its
@@ -167,7 +168,8 @@ class TransformerCrossAtt(nn.Module):
         return x, att
 
     def step(self, y_embd: Array, x_enc: Array, state: TransformerState,
-             mask=None, crossatt_pos=None, time_step=None, lazy_p=None):
+             mask=None, crossatt_pos=None, time_step=None, lazy_p=None,
+             crossatt_pos_valid=None):
         if lazy_p is not None:
             raise NotImplementedError(
                 "lazy decode applies to linear-attention backbones; the "

@@ -318,7 +318,12 @@ class QDense(nn.Module):
             # tree-swapped int8) leaves to the caller; x is shape-only
             return kernel, bias
         if is_quantized_leaf(kernel):
-            out_dtype = self.dtype or jnp.bfloat16
+            # dtype=None falls back to nn.Dense's promote_dtype result
+            # (result_type of activation and param dtypes), so a module
+            # that omits dtype keeps its output dtype when its kernel is
+            # tree-swapped to int8
+            out_dtype = self.dtype or jnp.result_type(x.dtype,
+                                                      self.param_dtype)
             mode = self.quant_mode or os.environ.get("QLINEAR_MODE", "wonly")
             # XLA's fused dequant-dot WINS on v5e for decode GEMVs
             # (probe_qlinear: 297 us vs 348 pallas / 323 native-int8-dot

@@ -25,16 +25,20 @@ program and one embed program.
 
 Greedy decoding (k=1) matches :func:`generate.generate_batch` on the
 same request (tests/test_serving.py; chunked prefill is exact up to fp
-summation order). One padding caveat: with ``pos_type="convolutional"``
-(the flagship's ConvPos), the non-causal 31-tap positional smoothing sees
-different neighborhoods near the text tail under padding than an unpadded
-run would — sinusoidal positions are exactly padding-invariant.
+summation order). Padding exactness: sinusoidal positions are
+padding-invariant; for ``pos_type="convolutional"`` (the flagship's
+ConvPos, whose non-causal 31-tap smoothing would otherwise see learned
+embeddings past the text tail) the server threads the per-slot valid
+length as ``crossatt_pos_valid`` so the padded batch reproduces each
+request's unpadded run exactly (tested for both pos types).
 
-``weight_quant="int8"`` keeps ONLY the quantized tree resident (~2x less
-HBM than params + quantized copy); every program takes it as a traced
-argument and QDense streams the int8 Dense kernels natively from HBM
-in the decode loop (the b1 bandwidth win) and nothing is baked into the
-executable as a constant.
+``weight_quant="int8"`` runs the decode loop on the quantized tree (a
+traced argument — QDense streams the int8 Dense kernels from HBM, the b1
+bandwidth win; nothing is baked into the executable as a constant) while
+prefill/text-encode default to full precision, matching generate_batch's
+int8 contract exactly; ``int8_prefill_full_precision=False`` keeps only
+the quantized tree resident (~2x less HBM) at the cost of slightly
+different prefill numerics vs generate_batch.
 """
 from __future__ import annotations
 
@@ -114,6 +118,7 @@ class DecodeServer:
         weight_quant: Optional[str] = None,
         quant_min_size: int = 1 << 16,
         approx_topk: bool = False,
+        int8_prefill_full_precision: bool = True,
     ):
         self.model = model
         self.n_slots = n_slots
@@ -139,16 +144,23 @@ class DecodeServer:
         if weight_quant == "int8":
             from lina_speech_tpu.utils.quantize import quantize_dense_params
 
-            # ONLY the quantized tree stays resident; Dense kernels carry
-            # their {int8_q, int8_s} pairs in the tree and QDense
-            # (ops/qlinear.py) streams them through the native int8 Pallas
-            # GEMV in every program (decode steps AND prefill)
+            # The quantized tree serves the DECODE loop (Dense kernels carry
+            # their {int8_q, int8_s} pairs; QDense streams int8 from HBM —
+            # the b1 bandwidth win). Prefill/text-encode default to a
+            # full-precision copy so int8 serving matches generate_batch's
+            # int8 contract exactly (generate.py quantizes the token loop
+            # only); pass int8_prefill_full_precision=False to keep ONLY
+            # the quantized tree resident (~2x less HBM, prefill numerics
+            # then differ slightly from generate_batch's).
             self._dev_params = quantize_dense_params(params, min_size=quant_min_size)
+            self._pre_params = params if int8_prefill_full_precision \
+                else self._dev_params
             del params
         elif weight_quant is not None:
             raise ValueError(f"unknown weight_quant {weight_quant!r}")
         else:
             self._dev_params = params
+            self._pre_params = params
 
         d = model.d_model
         m = max_text_len
@@ -158,6 +170,13 @@ class DecodeServer:
         self._y_embd = jnp.zeros((B, d), cdt)
         self._t = jnp.zeros((B,), jnp.int32)
         self._state = model.empty_state(B)
+
+        # ConvPos (non-causal 31-tap positional conv) must be told the
+        # valid text length so the padded batch matches each request's
+        # unpadded generate_batch run exactly (models/crossatt.py ConvPos)
+        self._pos_needs_valid = (
+            getattr(model.attentive_rnn, "blind", False)
+            and getattr(model.attentive_rnn, "pos_type", "") == "convolutional")
 
         self._encode_text = jax.jit(self._encode_text_impl)
         self._prefill_chunk = jax.jit(self._prefill_chunk_impl,
@@ -183,9 +202,11 @@ class DecodeServer:
                           method=LinaModel.embed_tokens)  # (1, c, d)
         c = emb.shape[1]
         pf_mask = jnp.broadcast_to(ca_mask, (1, c, ca_mask.shape[-1]))
+        pv = ca_mask[:, 0] if self._pos_needs_valid else None  # (1, m)
         logits, _, state = model.apply(
             params, emb, x_enc, state, crossatt_mask=pf_mask,
             conv_history=conv_history, time_offset=time_offset,
+            crossatt_pos_valid=pv,
             method=LinaModel.prefill,
         )  # (1, c, q, l)
         k, temp, fgq, approx = self.sample_args
@@ -227,11 +248,14 @@ class DecodeServer:
         # mode XLA streams the int8 leaves each step, nothing constant-folds
         lp = dev_params
 
+        pv = ca_mask[:, 0] if self._pos_needs_valid else None  # (B, m)
+
         def step(carry, kk):
             state, y_embd, t = carry
             logits, _, state = model.apply(
                 lp, y_embd, x_enc, state, time_step=t,
-                crossatt_mask=ca_mask, method=LinaModel.decode_step,
+                crossatt_mask=ca_mask, crossatt_pos_valid=pv,
+                method=LinaModel.decode_step,
             )
             toks = _sample_tokens(kk, logits, k, temp, fgq, False, approx)
             y_embd = model.apply(lp, toks.T[:, :, None],
@@ -287,7 +311,7 @@ class DecodeServer:
             codes = np.ones((nq, 1, 1), np.int32)
         n_forced = codes.shape[2]
 
-        x_enc1 = self._encode_text(self._dev_params, x, enc_mask)
+        x_enc1 = self._encode_text(self._pre_params, x, enc_mask)
         # binary-decomposed prefill: descending pow2 chunks, state threaded
         st1 = self.model.empty_state(1)
         pre_rows: List[np.ndarray] = []
@@ -296,14 +320,14 @@ class DecodeServer:
             self.key, sub = jax.random.split(self.key)
             self.prefill_chunk_sizes.add(c)
             toks, st1 = self._prefill_chunk(
-                self._dev_params, x_enc1, ca1,
+                self._pre_params, x_enc1, ca1,
                 jnp.asarray(codes[:, :, off:off + c]),
                 jnp.asarray(off, jnp.int32), sub,
                 conv_history=(off > 0), state=st1)
             toks_np = np.asarray(toks[0])  # (c, q)
             pre_rows.extend(toks_np[i] for i in range(c))
             off += c
-        y1 = self._embed_one(self._dev_params,
+        y1 = self._embed_one(self._pre_params,
                              jnp.asarray(pre_rows[-1])[None, :])
 
         (self._state, self._x_enc, self._ca_mask, self._y_embd,

@@ -88,6 +88,22 @@ def test_loudness_normalization_scale_invariance():
     assert 30.0 < r < 50.0  # 2.0 / 0.05 = 40x
 
 
+def test_loudness_scale_uses_valid_samples_only():
+    """ADVICE r3 #2: the final partial segment's loudness scale must be the
+    RMS over the VALID samples (reference model.py computes volume on the
+    unpadded frame), not diluted by the zero padding."""
+    m, p = _tiny()
+    rng = np.random.default_rng(5)
+    audio = jnp.asarray(rng.normal(size=(1, 250)).astype(np.float32))
+    frames = encode_segmented(m, p, audio, segment_length=160, overlap=0.0,
+                              normalize=True)
+    # segment 1 has 250 - 160 = 90 valid samples
+    tail = np.asarray(audio[0, 160:250])
+    want = np.sqrt(np.mean(tail.astype(np.float64) ** 2)) + 1e-8
+    got = float(np.asarray(frames[1][1])[0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_compress_decompress_container_roundtrip():
     """Arbitrary-length audio through the full stack: segmented encode ->
     per-segment LM arithmetic coding -> container -> exact codes back ->

@@ -168,3 +168,35 @@ def test_swiglu_fused_dispatch_matches_unfused():
     np.testing.assert_array_equal(
         np.asarray(mod_f.apply(p, x), np.float32),
         np.asarray(mod_u.apply(p, x), np.float32))
+
+
+def test_swiglu_fused_skipped_under_w8a8(monkeypatch):
+    """ADVICE r3 #1: the fused FFN kernel is weight-only numerics; when
+    QLINEAR_MODE requests w8a8 the SwiGLU must fall through to the two
+    QDense calls so the whole quantized forward keeps one numerics class."""
+    from lina_speech_tpu.models.base_blocks import SwiGLU
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 256)).astype(jnp.bfloat16)
+    mod_f = SwiGLU(256, dtype=jnp.bfloat16, fused_quant=True)
+    mod_u = SwiGLU(256, dtype=jnp.bfloat16, fused_quant=False)
+    p = mod_u.init(jax.random.PRNGKey(1), x)
+    pq = jax.jit(lambda t: quantize_dense_params(t, min_size=1))(p)
+    monkeypatch.setenv("QLINEAR_MODE", "w8a8")
+    y_f = mod_f.apply(pq, x)
+    y_u = mod_u.apply(pq, x)  # QDense honors w8a8 in both
+    np.testing.assert_array_equal(np.asarray(y_f, np.float32),
+                                  np.asarray(y_u, np.float32))
+
+
+def test_qdense_dtype_none_keeps_dense_output_dtype():
+    """ADVICE r3 #4: with dtype=None the quantized branch must return the
+    same output dtype nn.Dense semantics would (result_type of activation
+    and param dtypes), not silently bfloat16."""
+    x32 = jax.random.normal(jax.random.PRNGKey(0), (2, 64))
+    qd = QDense(128, dtype=None, use_bias=False)
+    p = qd.init(jax.random.PRNGKey(1), x32)
+    pq = jax.jit(lambda t: quantize_dense_params(t, min_size=1))(p)
+    assert qd.apply(p, x32).dtype == qd.apply(pq, x32).dtype == jnp.float32
+    x16 = x32.astype(jnp.bfloat16)
+    # f32 params + bf16 activation promote to f32 in nn.Dense semantics
+    assert qd.apply(p, x16).dtype == qd.apply(pq, x16).dtype

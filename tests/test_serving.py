@@ -1,5 +1,7 @@
 """Continuous-batching decode server: greedy outputs must match
 generate_batch run individually per request; slots must recycle."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,8 +11,12 @@ from lina_speech_tpu.generate import generate_batch
 from lina_speech_tpu.serving import DecodeServer
 
 
-def _setup():
+def _setup(**backbone_overrides):
     cfg = lina_gla_tiny()
+    if backbone_overrides:
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone,
+                                              **backbone_overrides))
     model = build_model(cfg)
     x = jax.random.randint(jax.random.PRNGKey(0), (1, 10), 3, cfg.n_txt_vocab)
     y = jax.random.randint(jax.random.PRNGKey(1), (1, 8, cfg.n_quant), 3,
@@ -53,6 +59,75 @@ def test_server_matches_individual_generate():
             assert c.length == ref_len
         else:
             assert c.length == max_len
+
+
+def test_server_matches_generate_convolutional_pos():
+    """The flagship config's ConvPos (non-causal 31-tap positional conv,
+    config.py pos_type="convolutional" default) must be padding-exact: the
+    server threads each slot's valid text length into ConvPos so the padded
+    batch reproduces the unpadded generate_batch run (VERDICT r3 weak #5)."""
+    cfg, model, params = _setup(pos_type="convolutional")
+    texts = [
+        np.asarray([5, 9, 3, 17, 8]),
+        np.asarray([12, 4, 33, 7, 19, 21, 6]),
+        np.asarray([40, 41]),
+    ]
+    max_len = 16
+
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4)
+    assert srv._pos_needs_valid
+    rids = [srv.submit(t, max_len=max_len) for t in texts]
+    done = {c.rid: c for c in srv.run()}
+
+    for rid, text in zip(rids, texts):
+        ref = generate_batch(
+            model, params, jnp.asarray(text)[None], jax.random.PRNGKey(9),
+            max_seqlen=max_len, k=1, force_max_seqlen=True,
+        )
+        ref_toks = np.asarray(ref.tokens)[:, 0, :].T
+        c = done[rid]
+        np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
+
+
+def test_convpos_padding_sensitivity_is_real():
+    """Guard that the ConvPos exactness fix is load-bearing: WITHOUT
+    pos_valid, a padded ConvPos run must differ from the unpadded run at
+    valid positions near the text tail (otherwise the threading above
+    tests nothing)."""
+    from lina_speech_tpu.models.crossatt import ConvPos
+
+    cp = ConvPos(dim=16, kernel_size=5)
+    params = cp.init(jax.random.PRNGKey(0), jnp.arange(12)[None])
+    mlen, m = 7, 12
+    unpadded = cp.apply(params, jnp.arange(mlen)[None])
+    padded = cp.apply(params, jnp.arange(m)[None])
+    assert not np.allclose(np.asarray(padded[:, :mlen]), np.asarray(unpadded))
+    valid = (jnp.arange(m) < mlen)[None]
+    masked = cp.apply(params, jnp.arange(m)[None], valid=valid)
+    np.testing.assert_allclose(np.asarray(masked[:, :mlen]),
+                               np.asarray(unpadded), rtol=1e-6, atol=1e-6)
+
+
+def test_server_int8_matches_generate_int8():
+    """int8 serving parity (ADVICE r3 #3): with the default
+    int8_prefill_full_precision=True the server's greedy int8 output must
+    equal generate_batch's weight_quant="int8" output (which quantizes the
+    token loop only)."""
+    cfg, model, params = _setup()
+    text = np.asarray([5, 9, 3, 17])
+    max_len = 12
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4,
+                       weight_quant="int8", quant_min_size=1 << 8)
+    rid = srv.submit(text, max_len=max_len)
+    done = {c.rid: c for c in srv.run()}
+    ref = generate_batch(
+        model, params, jnp.asarray(text)[None], jax.random.PRNGKey(9),
+        max_seqlen=max_len, k=1, force_max_seqlen=True,
+        weight_quant="int8", quant_min_size=1 << 8,
+    )
+    ref_toks = np.asarray(ref.tokens)[:, 0, :].T
+    c = done[rid]
+    np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
 
 
 def test_slots_recycle_under_load():
