@@ -1,0 +1,227 @@
+"""Quality bounds for the lossy decode knobs (VERDICT r3 weak #6 / next #5).
+
+Measures, at flagship shapes on hardware (or --tiny on CPU for the test):
+
+1. ``state_quant="int8"`` (the int8 recurrent-state decode behind the b64
+   headline): greedy b64 token agreement vs exact bf16, per-row
+   first-divergence steps, AND teacher-forced per-step logits deltas along
+   the SAME token trajectory (isolates quantization numerics from greedy
+   AR trajectory divergence — one flipped argmax forks the suffix).
+2. ``approx_topk=True`` (the bench's approx_max_k candidate selection,
+   recall ~0.95): k=100 sampled decode with IDENTICAL PRNG keys, exact vs
+   approx — tokens differ only where the candidate sets differ.
+
+Prints one JSON line; record the numbers in BASELINE.md next to the
+speedup claims. Reference sampling contract: model/tools.py:38-44.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def forced_decode_logits(model, params, x, tokens, lazy_window, state_quant):
+    """Teacher-forced decode along a FIXED (q, b, T) token stream through
+    the exact lazy decode path generate_batch uses; returns (T, b, q, l)
+    logits. The input at step t is the embedding of tokens[:, :, t-1]
+    (step 0 uses the BOS ones vector), mirroring generate.py's loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from lina_speech_tpu.models.attentive_rnn import (
+        add_lazy_buffers, fold_lazy_state,
+    )
+    from lina_speech_tpu.models.lina import LinaModel
+
+    q, b, T = tokens.shape
+    L = lazy_window
+    assert L > 0 and T % L == 0, (T, L)
+
+    @jax.jit
+    def run(params, x, tokens):
+        x_enc = model.apply(params, x, method=LinaModel.encode_text)
+        cdt = model.dtype
+        if cdt != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(cdt)
+                if (hasattr(p, "dtype") and p.dtype == jnp.float32) else p,
+                params)
+        embed = lambda t: model.apply(params, t,
+                                      method=LinaModel.embed_tokens)
+        y0 = embed(jnp.ones((q, b, 1), jnp.int32))[:, 0]  # (b, d)
+        # conv rings in the compute dtype (generate_batch reaches the
+        # decode loop via prefill, whose output rings are already cdt)
+        state = add_lazy_buffers(
+            model.attentive_rnn.empty_state(b, dtype=y0.dtype), L,
+            dtype=y0.dtype, state_quant=state_quant)
+        # inputs: BOS embedding then embeddings of tokens[..., :-1]
+        ins = jnp.concatenate(
+            [y0[None], embed(tokens[:, :, :-1]).transpose(1, 0, 2)], axis=0)
+
+        def window(carry, win):
+            state, t = carry
+            ins_w, = win
+
+            def step(j, acc):
+                state, logits_w = acc
+                lg, _, state = model.apply(
+                    params, ins_w[j], x_enc, state, time_step=t + j,
+                    lazy_p=j, method=LinaModel.decode_step)
+                return state, logits_w.at[j].set(lg.astype(jnp.float32))
+
+            logits_w = jnp.zeros((L, b, q, model.n_target_vocab),
+                                 jnp.float32)
+            state, logits_w = jax.lax.fori_loop(0, L, step,
+                                                (state, logits_w))
+            return (fold_lazy_state(state), t + L), logits_w
+
+        (_, _), logits = jax.lax.scan(
+            window, (state, jnp.asarray(0, jnp.int32)),
+            (ins.reshape(T // L, L, *ins.shape[1:]),))
+        return logits.reshape(T, b, q, -1)
+
+    return run(params, x, tokens)
+
+
+def agreement_stats(a: np.ndarray, b: np.ndarray):
+    """a, b: (q, batch, T) token streams -> agreement + first divergence."""
+    eq = (a == b).all(axis=0)  # (batch, T)
+    T = eq.shape[1]
+    div = np.where(eq.all(axis=1), T, np.argmin(eq, axis=1))
+    return {
+        "token_agreement": float((a == b).mean()),
+        "rows_identical": float(eq.all(axis=1).mean()),
+        "first_divergence_step_median": float(np.median(div)),
+        "first_divergence_step_min": int(div.min()),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="tiny config on CPU")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--text-len", type=int, default=32)
+    ap.add_argument("--lazy", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu or args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    from lina_speech_tpu.config import build_model, lina_gla_169m, lina_gla_tiny
+    from lina_speech_tpu.generate import generate_batch
+
+    if args.tiny:
+        cfg = lina_gla_tiny(compute_dtype="bfloat16")
+    else:
+        cfg = lina_gla_169m(compute_dtype="bfloat16")
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone,
+                                          state_dtype="bfloat16"))
+    model = build_model(cfg)
+
+    b, m, T = args.batch, args.text_len, args.steps
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (b, m), 3, cfg.n_txt_vocab)
+    xi = x[:2]
+    y = jax.random.randint(key, (2, 16, cfg.n_quant), 3, cfg.n_codebook + 3)
+    params = model.init(jax.random.PRNGKey(1), xi, y,
+                        jnp.ones((2, m, m), bool),
+                        jnp.ones((2, 16, m), bool), jnp.ones((2, 16), bool))
+
+    gen = functools.partial(
+        generate_batch, model, params, x, max_seqlen=T,
+        force_max_seqlen=True, lazy_window=args.lazy)
+    report = {"batch": b, "steps": T, "lazy_window": args.lazy,
+              "config": "tiny" if args.tiny else "lina_gla_169m",
+              "device": str(jax.devices()[0])}
+
+    # ---- 1. state_quant="int8": greedy agreement vs exact bf16
+    t0 = time.perf_counter()
+    tok_fp = np.asarray(gen(jax.random.PRNGKey(3), k=1).tokens)
+    tok_q = np.asarray(gen(jax.random.PRNGKey(3), k=1,
+                           state_quant="int8").tokens)
+    report["state_int8_greedy"] = agreement_stats(tok_fp, tok_q)
+
+    # teacher-forced logits deltas along the bf16 trajectory: pure
+    # numerics, no AR forking
+    lg_fp = np.asarray(forced_decode_logits(
+        model, params, x, jnp.asarray(tok_fp), args.lazy, None))
+    lg_q = np.asarray(forced_decode_logits(
+        model, params, x, jnp.asarray(tok_fp), args.lazy, "int8"))
+    d = np.abs(lg_fp - lg_q)
+    report["state_int8_forced"] = {
+        "logit_delta_mean": float(d.mean()),
+        "logit_delta_max": float(d.max()),
+        "logit_scale_mean_abs": float(np.abs(lg_fp).mean()),
+        "argmax_flip_rate": float(
+            (lg_fp.argmax(-1) != lg_q.argmax(-1)).mean()),
+    }
+
+    # ---- 2. approx_topk: step-local distributional bound. Token-level
+    # agreement is meaningless for a sampled path (identical keys drive
+    # different-shaped categoricals, and trajectories fork at the first
+    # differing sample), so measure what the knob actually changes: the
+    # candidate set (recall vs the exact top-k) and the total-variation
+    # distance between the two sampling distributions at each step of the
+    # bf16 greedy trajectory. NB on CPU approx_max_k falls back to exact
+    # (recall 1, tv 0); the flagship numbers must come from TPU.
+    kk = min(100, model.n_target_vocab - 4)
+    lg = jnp.asarray(lg_fp[:, :, 0, :])  # sampled quantizer 0: (T, b, l)
+
+    @jax.jit
+    def approx_stats(lg):
+        vocab = lg.shape[-1]
+        kth = jax.lax.top_k(lg, kk)[0][..., -1:]
+        p_e = jax.nn.softmax(jnp.where(lg < kth, -jnp.inf, lg), axis=-1)
+        vals, idx = jax.lax.approx_max_k(lg, kk, recall_target=0.95)
+        p_c = jax.nn.softmax(vals, axis=-1)
+        p_a = jnp.zeros_like(p_e).at[
+            jnp.arange(lg.shape[0])[:, None, None],
+            jnp.arange(lg.shape[1])[None, :, None], idx].add(p_c)
+        tv = 0.5 * jnp.abs(p_e - p_a).sum(-1)
+        exact_set = jnp.zeros((*lg.shape[:-1], vocab), bool).at[
+            jnp.arange(lg.shape[0])[:, None, None],
+            jnp.arange(lg.shape[1])[None, :, None],
+            jax.lax.top_k(lg, kk)[1]].set(True)
+        in_exact = jnp.take_along_axis(exact_set, idx, axis=-1)
+        recall = in_exact.mean(-1)
+        return tv, recall
+
+    tv, recall = approx_stats(lg)
+    report[f"approx_topk_k{kk}"] = {
+        "tv_distance_mean": float(np.asarray(tv).mean()),
+        "tv_distance_max": float(np.asarray(tv).max()),
+        "candidate_recall_mean": float(np.asarray(recall).mean()),
+        "candidate_recall_min": float(np.asarray(recall).min()),
+    }
+    report["wall_s"] = round(time.perf_counter() - t0, 1)
+
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

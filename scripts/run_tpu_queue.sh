@@ -38,7 +38,14 @@ phase train_nohoist env BENCH_DECODE=0 BENCH_B1=0 BENCH_STATE_QUANT=0 \
 #    (BASELINE.md); this validates the full pipeline incl. generate_batch.
 phase s0_e2e python scripts/tune_s0_tpu.py --save-ckpt-dir /tmp/s0_base_ckpt
 
-# 4. Full default bench sanity (what the driver will run at round end).
+# 4. Lossy-knob quality bounds at flagship scale (round-4 VERDICT #5):
+#    greedy b64 token agreement + teacher-forced logit deltas for
+#    state_quant="int8", candidate recall + TV distance for approx_topk.
+#    Record the JSON line in BASELINE.md next to the 217.8x claim.
+phase quality_lossy python scripts/quality_lossy_decode.py \
+  --batch 64 --steps 256
+
+# 5. Full default bench sanity (what the driver will run at round end).
 phase full_bench env BENCH_STEPS=256 python bench.py
 
 echo "QUEUE COMPLETE $(date -u)" >> "$Q/queue.log"
