@@ -342,6 +342,65 @@ class GatedLinearAttention(nn.Module):
         b, t, _ = x.shape
         return x.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
+    # ---------- folded-layout projections (training path, opt-in) ----------
+    # The round-2 xplane decomposition attributes ~12 ms of the 94 ms
+    # micro-step to layout copies, dominated by the (b,t,h*d)->(b,h,t,d)
+    # head-split transposes around the chunk kernel and the inverse around
+    # o_proj. Expressing projection+split as ONE einsum (kernel viewed as
+    # (d, h, hd)) hands XLA a single GEMM whose output layout IS the
+    # kernel layout, so the transpose can fold into the GEMM epilogue
+    # instead of materializing a copy. Identical math: the kernel reshape
+    # only groups columns; the contraction is unchanged.
+    # Opt-in via GLA_FOLD_LAYOUT=1 until the A/B is measured on hardware
+    # (the flat-(b,t,d) BlockSpec attempt is a documented loss — this one
+    # keeps the kernel layout and changes only how XLA produces it).
+
+    def _fold_layout(self) -> bool:
+        import os
+
+        return os.environ.get("GLA_FOLD_LAYOUT", "0") == "1"
+
+    def _proj_heads(self, mod, z: Array, head_dim: int) -> Array:
+        """(b, t, d) -> (b, h, t, head_dim): projection with the head-split
+        transpose folded into the GEMM (no standalone copy)."""
+        kernel = mod.variables["params"]["kernel"]
+        z2, w = nn.dtypes.promote_dtype(z, jnp.asarray(kernel),
+                                        dtype=self.dtype)
+        w = w.reshape(w.shape[0], self.num_heads, head_dim)
+        return jnp.einsum("btd,dhk->bhtk", z2, w)
+
+    def _gates_heads(self, h: Array, reset_mask, reset_val: float) -> Array:
+        """_gates() emitting (b, h, t, head_qk_dim) f32 directly (low-rank
+        second stage as a folded einsum; scalar_gate uses the legacy path)."""
+        gk1 = self.gk_proj_1(h)  # (b, t, r)
+        kernel = self.gk_proj_2.variables["params"]["kernel"]
+        bias = self.gk_proj_2.variables["params"]["bias"]
+        z2, w = nn.dtypes.promote_dtype(gk1, jnp.asarray(kernel),
+                                        dtype=self.dtype)
+        w = w.reshape(w.shape[0], self.num_heads, self.head_qk_dim)
+        g = jnp.einsum("btr,rhk->bhtk", z2, w)
+        g = g + jnp.asarray(bias, g.dtype).reshape(
+            1, self.num_heads, 1, self.head_qk_dim)
+        g = jax.nn.log_sigmoid(g.astype(jnp.float32)) / self.gate_logit_normalizer
+        if self.clamp_min is not None:
+            g = jnp.maximum(g, self.clamp_min)
+        if reset_mask is not None:
+            g = jnp.where(reset_mask[:, None, :, None], reset_val, g)
+        return g
+
+    def _output_folded(self, o_heads: Array, h: Array) -> Array:
+        """Gate + project from the kernel's (b, h, t, dv) layout directly:
+        the output gate is produced head-split by a folded einsum and
+        o_proj contracts (h, dv) in place — no (b,h,t,dv)->(b,t,h,dv)
+        transpose materializes."""
+        g = self._proj_heads(self.g_proj, h, self.head_v_dim)
+        o = self.g_norm_swish_gate(o_heads, g)
+        kernel = self.o_proj.variables["params"]["kernel"]
+        o2, w = nn.dtypes.promote_dtype(o, jnp.asarray(kernel),
+                                        dtype=self.dtype)
+        w = w.reshape(self.num_heads, self.head_v_dim, -1)
+        return jnp.einsum("bhtv,hvd->btd", o2, w)
+
     def _output(self, o_heads: Array, x: Array,
                 g: Optional[Array] = None) -> Array:
         # o_heads: (b, h, t, dv_head) -> gate + merge + project; ``g``
@@ -407,30 +466,47 @@ class GatedLinearAttention(nn.Module):
             and not use_hist
             and self._chunk_conv_fusable()
         )
-        if fuse_conv:
-            # pre-conv projections: the short convs run inside the kernel
-            q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
-        elif self.use_short_conv:
-            if self.share_conv_kernel:
+        # folded-layout path (opt-in, GLA_FOLD_LAYOUT=1): projections emit
+        # (b, h, t, hd) directly; applies where projections act on a
+        # (b, t, d) stream (fuse_conv / shared-conv / no-conv) — the
+        # separate-conv-outside-the-kernel path keeps the legacy layout
+        # (its convs run per-feature between projection and split)
+        fold = (self._fold_layout() and not self.scalar_gate
+                and (fuse_conv or not self.use_short_conv
+                     or self.share_conv_kernel))
+        if fold:
+            if self.use_short_conv and self.share_conv_kernel:
                 h = (conv_hist(self.h_conv1d, x, initial_state.conv_h)
                      if use_hist else self.h_conv1d(x))
-                q, k, v = self.q_proj(h), self.k_proj(h), self.v_proj(h)
-            elif use_hist:
-                q = conv_hist(self.q_conv1d, self.q_proj(x), initial_state.conv_q)
-                k = conv_hist(self.k_conv1d, self.k_proj(x), initial_state.conv_k)
-                v = conv_hist(self.v_conv1d, self.v_proj(x), initial_state.conv_v)
-            else:
-                q = self.q_conv1d(self.q_proj(x))
-                k = self.k_conv1d(self.k_proj(x))
-                v = self.v_conv1d(self.v_proj(x))
+            qh = self._proj_heads(self.q_proj, h, self.head_qk_dim)
+            kh = self._proj_heads(self.k_proj, h, self.head_qk_dim)
+            vh = self._proj_heads(self.v_proj, h, self.head_v_dim)
+            gh = self._gates_heads(h, reset_mask, reset_val)
         else:
-            q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
+            if fuse_conv:
+                # pre-conv projections: the short convs run inside the kernel
+                q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
+            elif self.use_short_conv:
+                if self.share_conv_kernel:
+                    h = (conv_hist(self.h_conv1d, x, initial_state.conv_h)
+                         if use_hist else self.h_conv1d(x))
+                    q, k, v = self.q_proj(h), self.k_proj(h), self.v_proj(h)
+                elif use_hist:
+                    q = conv_hist(self.q_conv1d, self.q_proj(x), initial_state.conv_q)
+                    k = conv_hist(self.k_conv1d, self.k_proj(x), initial_state.conv_k)
+                    v = conv_hist(self.v_conv1d, self.v_proj(x), initial_state.conv_v)
+                else:
+                    q = self.q_conv1d(self.q_proj(x))
+                    k = self.k_conv1d(self.k_proj(x))
+                    v = self.v_conv1d(self.v_proj(x))
+            else:
+                q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
 
-        gk = self._gates(h, reset_mask, reset_val)
-        qh = self._split_heads(q, self.head_qk_dim)
-        kh = self._split_heads(k, self.head_qk_dim)
-        vh = self._split_heads(v, self.head_v_dim)
-        gh = self._split_heads(gk, self.head_qk_dim)
+            gk = self._gates(h, reset_mask, reset_val)
+            qh = self._split_heads(q, self.head_qk_dim)
+            kh = self._split_heads(k, self.head_qk_dim)
+            vh = self._split_heads(v, self.head_v_dim)
+            gh = self._split_heads(gk, self.head_qk_dim)
 
         s0 = initial_state.s if initial_state is not None else None
         if fuse_conv:
@@ -462,7 +538,7 @@ class GatedLinearAttention(nn.Module):
         else:
             o, s_final = gla_scan_ref(qh, kh, vh, gh, initial_state=s0)
 
-        out = self._output(o, h)
+        out = self._output_folded(o, h) if fold else self._output(o, h)
         if output_final_state:
             state = self.empty_state(x.shape[0], dtype=x.dtype).replace(s=s_final)
             if self.use_short_conv:

@@ -33,6 +33,12 @@ phase train_hoist env BENCH_DECODE=0 BENCH_B1=0 BENCH_STATE_QUANT=0 \
 phase train_nohoist env BENCH_DECODE=0 BENCH_B1=0 BENCH_STATE_QUANT=0 \
   BENCH_CODEC=0 BENCH_HOIST=0 BENCH_TRAIN_STEPS=16 python bench.py
 
+# 2b. Folded-layout projections A/B (round-4 VERDICT #3: fold head-split
+#     transposes into the projection GEMMs; parity-tested, opt-in).
+phase train_fold env GLA_FOLD_LAYOUT=1 BENCH_DECODE=0 BENCH_B1=0 \
+  BENCH_STATE_QUANT=0 BENCH_CODEC=0 BENCH_HOIST=1 BENCH_TRAIN_STEPS=16 \
+  python bench.py
+
 # 3. S0-tuning end-to-end clean run (VERDICT #8) — long (~30-40 min).
 #    The 18:06 partial run already produced the headline numbers
 #    (BASELINE.md); this validates the full pipeline incl. generate_batch.
