@@ -32,6 +32,11 @@ embeddings past the text tail) the server threads the per-slot valid
 length as ``crossatt_pos_valid`` so the padded batch reproduces each
 request's unpadded run exactly (tested for both pos types).
 
+``mesh=`` shards the slot batch over the mesh's "dp" axis: the chunked
+decode loop runs dp-parallel across chips, each owning n_slots/dp slots
+(params may additionally be tp-sharded by the caller via
+``parallel.shard_params``) — continuous batching scaled out the TPU way.
+
 ``weight_quant="int8"`` runs the decode loop on the quantized tree (a
 traced argument — QDense streams the int8 Dense kernels from HBM, the b1
 bandwidth win; nothing is baked into the executable as a constant) while
@@ -119,6 +124,7 @@ class DecodeServer:
         quant_min_size: int = 1 << 16,
         approx_topk: bool = False,
         int8_prefill_full_precision: bool = True,
+        mesh=None,
     ):
         self.model = model
         self.n_slots = n_slots
@@ -170,6 +176,36 @@ class DecodeServer:
         self._y_embd = jnp.zeros((B, d), cdt)
         self._t = jnp.zeros((B,), jnp.int32)
         self._state = model.empty_state(B)
+
+        # Multi-chip serving: shard the SLOT BATCH over the mesh's "dp"
+        # axis — the chunked decode loop then runs dp-parallel across
+        # chips (each chip owns n_slots/dp slots; per-request prefill
+        # stays replicated at b=1 and _insert's dynamic_update lands on
+        # the owning shard). Params may additionally be tp-sharded by the
+        # caller (parallel.shard_params); anything unsharded replicates.
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["dp"]
+            if n_slots % dp != 0:
+                raise ValueError(f"n_slots {n_slots} not divisible by "
+                                 f"dp={dp}")
+            batched = NamedSharding(mesh, P("dp"))
+            self._x_enc = jax.device_put(self._x_enc, batched)
+            self._ca_mask = jax.device_put(self._ca_mask, batched)
+            self._y_embd = jax.device_put(self._y_embd, batched)
+            self._t = jax.device_put(self._t, batched)
+            one = jax.eval_shape(lambda: model.empty_state(1))
+            self._state = jax.tree_util.tree_map(
+                lambda b_leaf, o_leaf: jax.device_put(
+                    b_leaf,
+                    NamedSharding(mesh, P(*(
+                        ("dp" if i == _batch_axis(b_leaf.shape,
+                                                  o_leaf.shape, B)
+                         else None)
+                        for i in range(b_leaf.ndim))))),
+                self._state, one)
 
         # ConvPos (non-causal 31-tap positional conv) must be told the
         # valid text length so the padded batch matches each request's

@@ -196,6 +196,32 @@ def test_mixed_prompt_lengths_bound_compiles():
     assert srv.prefill_chunk_sizes <= {1, 2, 4, 8}, srv.prefill_chunk_sizes
 
 
+def test_server_dp_sharded_matches_single_device():
+    """mesh= shards the slot batch over dp: greedy outputs must equal the
+    unsharded server's (which itself equals per-request generate_batch)."""
+    from lina_speech_tpu.parallel import MeshConfig, make_mesh, shard_params
+
+    cfg, model, params = _setup()
+    texts = [np.asarray([5 + i, 9, 3 + 2 * i]) for i in range(6)]
+    max_len = 12
+
+    srv0 = DecodeServer(model, params, n_slots=4, max_text_len=12, chunk=4)
+    rids0 = [srv0.submit(t, max_len=max_len) for t in texts]
+    done0 = {c.rid: c for c in srv0.run()}
+
+    mesh = make_mesh(MeshConfig(dp=4, tp=2))
+    params_s = shard_params(params, mesh)
+    srv = DecodeServer(model, params_s, n_slots=4, max_text_len=12,
+                       chunk=4, mesh=mesh)
+    rids = [srv.submit(t, max_len=max_len) for t in texts]
+    done = {c.rid: c for c in srv.run()}
+
+    assert set(done) == set(rids)
+    for r0, r in zip(rids0, rids):
+        np.testing.assert_array_equal(done0[r0].tokens, done[r].tokens)
+        assert done0[r0].length == done[r].length
+
+
 def test_server_int8_mode_runs():
     cfg, model, params = _setup()
     srv = DecodeServer(model, params, n_slots=2, max_text_len=12,
