@@ -89,3 +89,29 @@ def test_lazy_window_matches_classic_decode():
                                   np.asarray(res_c.tokens))
     np.testing.assert_array_equal(np.asarray(res_l.stop_mask),
                                   np.asarray(res_c.stop_mask))
+
+
+def test_lazy_window_simple_gla_matches_classic():
+    """The scalar-gate (simple-GLA) backbone rides the same GLA lazy
+    machinery (gates broadcast per head) — pin the parity."""
+    import dataclasses
+
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+
+    cfg = lina_gla_tiny()
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, kind="simple_gla"))
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, cfg.n_txt_vocab)
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(jax.random.PRNGKey(2), x, y,
+                        jnp.ones((2, 8, 8), bool), jnp.ones((2, 8, 8), bool),
+                        jnp.ones((2, 8), bool))
+    r0 = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                        max_seqlen=16, k=1, force_max_seqlen=True)
+    r1 = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                        max_seqlen=16, k=1, force_max_seqlen=True,
+                        lazy_window=8)
+    np.testing.assert_array_equal(np.asarray(r0.tokens),
+                                  np.asarray(r1.tokens))
