@@ -27,6 +27,13 @@ phase() {
 phase b1_bench env BENCH_STEPS=256 BENCH_BATCH=2 BENCH_LAZY=0 \
   BENCH_STATE_QUANT=0 BENCH_TRAIN=0 BENCH_CODEC=0 python bench.py
 
+# 1b. b1-int8 decode trace + summary (round-4 VERDICT #2: find where the
+#     int8 stream's 353-of-647 GB/s gap lives before attacking it).
+phase b1_profile python scripts/profile_decode.py --batch 1 --steps 128 \
+  --lazy-window 0 --weight-quant int8 --out /tmp/jaxprof_b1int8
+phase b1_profile_sum python scripts/summarize_trace.py /tmp/jaxprof_b1int8 \
+  --top 40
+
 # 2. Train-throughput probe with hoist_param_cast on vs off — VERDICT #3.
 phase train_hoist env BENCH_DECODE=0 BENCH_B1=0 BENCH_STATE_QUANT=0 \
   BENCH_CODEC=0 BENCH_HOIST=1 BENCH_TRAIN_STEPS=16 python bench.py
@@ -38,6 +45,17 @@ phase train_nohoist env BENCH_DECODE=0 BENCH_B1=0 BENCH_STATE_QUANT=0 \
 phase train_fold env GLA_FOLD_LAYOUT=1 BENCH_DECODE=0 BENCH_B1=0 \
   BENCH_STATE_QUANT=0 BENCH_CODEC=0 BENCH_HOIST=1 BENCH_TRAIN_STEPS=16 \
   python bench.py
+
+# 2c. Train-step traces with/without the folded layout (VERDICT #3 "done"
+#     criterion: layout copies < 4 ms in the profile).
+phase train_profile_fold env GLA_FOLD_LAYOUT=1 \
+  python scripts/profile_train.py --out /tmp/jaxprof_train_fold
+phase train_profile_fold_sum python scripts/summarize_trace.py \
+  /tmp/jaxprof_train_fold --top 40
+phase train_profile_base python scripts/profile_train.py \
+  --out /tmp/jaxprof_train_base
+phase train_profile_base_sum python scripts/summarize_trace.py \
+  /tmp/jaxprof_train_base --top 40
 
 # 3. S0-tuning end-to-end clean run (VERDICT #8) — long (~30-40 min).
 #    The 18:06 partial run already produced the headline numbers
