@@ -58,6 +58,26 @@ def fit(args) -> None:
     )
     disc_step, gen_step = make_codec_gan_steps(wavtok, mpd, mrd, gen_tx, disc_tx, gan_cfg)
 
+    # --dp N: data-parallel GAN training over a mesh (the reference trains
+    # its vocoder with Lightning DDP, decoder/experiment.py:447-456). Crops
+    # shard over dp, generator/discriminator states replicate; XLA inserts
+    # the gradient psum from the sharding — no hand-rolled sync_grad needed.
+    shard_audio = lambda a: a
+    if args.dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lina_speech_tpu.parallel import MeshConfig, make_mesh
+
+        if args.batch_size % args.dp != 0:
+            raise SystemExit(f"--batch-size {args.batch_size} not divisible "
+                             f"by --dp {args.dp}")
+        mesh = make_mesh(MeshConfig(dp=args.dp, tp=1))
+        repl = NamedSharding(mesh, P())
+        state = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, repl), state)
+        batched = NamedSharding(mesh, P("dp"))
+        shard_audio = lambda a: jax.device_put(a, batched)
+
     # validation hooks: SI-SNR/LSD/mel always; UTMOS/PESQ when assets exist
     from lina_speech_tpu.codec.metrics import external_metric_hooks, quality_metrics
 
@@ -69,7 +89,7 @@ def fit(args) -> None:
     for i, audio in enumerate(itertools.chain([audio0], data)):
         if i >= args.steps:
             break
-        audio = jax.numpy.asarray(audio)
+        audio = shard_audio(jax.numpy.asarray(audio))
         with timer:
             state, dmetrics = disc_step(state, audio)
             state, gmetrics = gen_step(state, audio)
@@ -98,6 +118,9 @@ def main(argv=None):
     f.add_argument("--crop-len", type=int, default=24000)
     f.add_argument("--pretrain-mel-steps", type=int, default=0)
     f.add_argument("--tiny", action="store_true")
+    f.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices for GAN training (crops "
+                        "shard, states replicate; reference = Lightning DDP)")
     f.add_argument("--val-every", type=int, default=0,
                    help="run quality metrics every N steps (0 = off)")
     f.add_argument("--utmos-ckpt", type=str, default=None,
@@ -112,6 +135,14 @@ def main(argv=None):
     args = p.parse_args(argv)
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.dp > 1:
+            import os
+
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count"
+                    f"={args.dp}").strip()
     if args.cmd == "fit":
         fit(args)
 
