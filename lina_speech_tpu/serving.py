@@ -171,6 +171,16 @@ class DecodeServer:
         d = model.d_model
         m = max_text_len
         B = n_slots
+        for leaf in jax.tree_util.tree_leaves(model.empty_state(1)):
+            if getattr(leaf, "ndim", 1) == 0:
+                # TransformerState's KV clock is one scalar per layer —
+                # batch-shared, so slots at different progress cannot share
+                # a decode batch. The recurrent families (GLA/RWKV6/Mamba)
+                # keep all per-slot state batched and serve fine.
+                raise ValueError(
+                    "DecodeServer requires per-slot state; this backbone "
+                    "keeps a batch-shared scalar in its state (transformer "
+                    "KV-cache clock) and cannot mix slot progress")
         self._x_enc = jnp.zeros((B, m, d), cdt)
         self._ca_mask = jnp.zeros((B, 1, m), bool)
         self._y_embd = jnp.zeros((B, d), cdt)

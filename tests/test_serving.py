@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lina_speech_tpu.config import build_model, lina_gla_tiny
 from lina_speech_tpu.generate import generate_batch
@@ -194,6 +195,47 @@ def test_mixed_prompt_lengths_bound_compiles():
     assert len(done) == len(lengths)
     # n_forced = L+1 in 2..12 -> chunks are powers of two <= 8 only
     assert srv.prefill_chunk_sizes <= {1, 2, 4, 8}, srv.prefill_chunk_sizes
+
+
+@pytest.mark.parametrize("kind", ["rwkv6", "mamba"])
+def test_server_other_backbones_match_generate(kind):
+    """The slot machinery (state-leaf batch-axis inference, insertion,
+    chunked decode) is backbone-agnostic for the recurrent families."""
+    cfg, model, params = _setup_kind(kind)
+    text = np.asarray([5, 9, 3])
+    max_len = 10
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4)
+    rid = srv.submit(text, max_len=max_len)
+    done = {c.rid: c for c in srv.run()}
+    ref = generate_batch(model, params, jnp.asarray(text)[None],
+                         jax.random.PRNGKey(9), max_seqlen=max_len, k=1,
+                         force_max_seqlen=True)
+    np.testing.assert_array_equal(
+        done[rid].tokens,
+        np.asarray(ref.tokens)[:, 0, :].T[: done[rid].length])
+
+
+def test_server_rejects_transformer_backbone():
+    """The transformer baseline's KV clock is batch-shared (one scalar per
+    layer) — slots at different progress can't share a decode batch; the
+    server must say so up front."""
+    cfg, model, params = _setup_kind("transformer")
+    with pytest.raises(ValueError, match="per-slot state"):
+        DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4)
+
+
+def _setup_kind(kind):
+    cfg = lina_gla_tiny()
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, kind=kind))
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (1, 10), 3, cfg.n_txt_vocab)
+    y = jax.random.randint(jax.random.PRNGKey(1), (1, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        jax.random.PRNGKey(2), x, y, jnp.ones((1, 10, 10), bool),
+        jnp.ones((1, 8, 10), bool), jnp.ones((1, 8), bool))
+    return cfg, model, params
 
 
 def test_server_dp_sharded_matches_single_device():
