@@ -472,8 +472,19 @@ class GatedLinearAttention(nn.Module):
         # separate-conv-outside-the-kernel path keeps the legacy layout
         # (its convs run per-feature between projection and split)
         fold = (self._fold_layout() and not self.scalar_gate
+                and not self.is_initializing()  # legacy path creates params
                 and (fuse_conv or not self.use_short_conv
                      or self.share_conv_kernel))
+        if fold:
+            # the folded einsums read raw kernel leaves; a quantized
+            # ({int8_q, int8_s}) tree must take the QDense-mediated legacy
+            # path instead (int8 prefill in serving reaches here)
+            from lina_speech_tpu.ops.qlinear import is_quantized_leaf
+
+            fold = not any(
+                is_quantized_leaf(m.variables["params"]["kernel"])
+                for m in (self.q_proj, self.k_proj, self.v_proj,
+                          self.g_proj, self.gk_proj_2, self.o_proj))
         if fold:
             if self.use_short_conv and self.share_conv_kernel:
                 h = (conv_hist(self.h_conv1d, x, initial_state.conv_h)

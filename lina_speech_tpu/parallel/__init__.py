@@ -1,4 +1,8 @@
-from lina_speech_tpu.parallel.mesh import make_mesh, MeshConfig
+from lina_speech_tpu.parallel.mesh import (
+    ensure_virtual_cpu_devices,
+    make_mesh,
+    MeshConfig,
+)
 from lina_speech_tpu.parallel.multihost import (
     distributed_init,
     globalize_batch,

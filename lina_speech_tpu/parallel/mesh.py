@@ -29,6 +29,28 @@ class MeshConfig:
     tp: int = 1
 
 
+def ensure_virtual_cpu_devices(n: int) -> None:
+    """Arrange for >= ``n`` virtual CPU devices BEFORE the CPU client is
+    created (the device-count flag is read exactly once, at client
+    creation). Used by the CLIs' ``--platform cpu`` path so callers don't
+    need the XLA_FLAGS incantation. Raises if the environment already pins
+    a smaller count — silently proceeding would surface later as a
+    confusing mesh-size error."""
+    import os
+    import re
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if m:
+        if int(m.group(1)) < n:
+            raise RuntimeError(
+                f"XLA_FLAGS already pins {m.group(1)} virtual CPU devices "
+                f"but {n} are needed; unset it or raise the count")
+        return
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n}").strip()
+
+
 def make_mesh(config: Optional[MeshConfig] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     config = config or MeshConfig()

@@ -171,7 +171,11 @@ class DecodeServer:
         d = model.d_model
         m = max_text_len
         B = n_slots
-        for leaf in jax.tree_util.tree_leaves(model.empty_state(1)):
+        # shapes only — eval_shape avoids eager device allocations (each is
+        # a remote dispatch over the axon tunnel); also reused by the mesh
+        # branch below for per-leaf batch-axis inference
+        one = jax.eval_shape(lambda: model.empty_state(1))
+        for leaf in jax.tree_util.tree_leaves(one):
             if getattr(leaf, "ndim", 1) == 0:
                 # TransformerState's KV clock is one scalar per layer —
                 # batch-shared, so slots at different progress cannot share
@@ -206,7 +210,6 @@ class DecodeServer:
             self._ca_mask = jax.device_put(self._ca_mask, batched)
             self._y_embd = jax.device_put(self._y_embd, batched)
             self._t = jax.device_put(self._t, batched)
-            one = jax.eval_shape(lambda: model.empty_state(1))
             self._state = jax.tree_util.tree_map(
                 lambda b_leaf, o_leaf: jax.device_put(
                     b_leaf,

@@ -219,18 +219,9 @@ def main(argv=None):
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
         if args.platform == "cpu" and max(args.dp, 1) * args.tp > 1:
-            # virtual CPU mesh: the device-count flag is read when the CPU
-            # client is created, which hasn't happened yet (the ambient
-            # sitecustomize imports jax but creates no CPU backend), so
-            # setting it here spares the caller the env incantation
-            import os
+            from lina_speech_tpu.parallel import ensure_virtual_cpu_devices
 
-            flags = os.environ.get("XLA_FLAGS", "")
-            if "host_platform_device_count" not in flags:
-                n = max(args.dp, 1) * args.tp
-                os.environ["XLA_FLAGS"] = (
-                    flags +
-                    f" --xla_force_host_platform_device_count={n}").strip()
+            ensure_virtual_cpu_devices(max(args.dp, 1) * args.tp)
     if args.cmd == "fit":
         fit(args)
 

@@ -136,13 +136,9 @@ def main(argv=None):
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
         if args.platform == "cpu" and args.dp > 1:
-            import os
+            from lina_speech_tpu.parallel import ensure_virtual_cpu_devices
 
-            flags = os.environ.get("XLA_FLAGS", "")
-            if "host_platform_device_count" not in flags:
-                os.environ["XLA_FLAGS"] = (
-                    flags + " --xla_force_host_platform_device_count"
-                    f"={args.dp}").strip()
+            ensure_virtual_cpu_devices(args.dp)
     if args.cmd == "fit":
         fit(args)
 

@@ -147,9 +147,11 @@ def main(argv=None):
     x = jax.random.randint(key, (b, m), 3, cfg.n_txt_vocab)
     xi = x[:2]
     y = jax.random.randint(key, (2, 16, cfg.n_quant), 3, cfg.n_codebook + 3)
-    params = model.init(jax.random.PRNGKey(1), xi, y,
-                        jnp.ones((2, m, m), bool),
-                        jnp.ones((2, 16, m), bool), jnp.ones((2, 16), bool))
+    # jit the init: eager init of the 359M model over the axon tunnel takes
+    # minutes of per-op RTT (CLAUDE.md); jitted it is one cached program
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(1), xi, y, jnp.ones((2, m, m), bool),
+        jnp.ones((2, 16, m), bool), jnp.ones((2, 16), bool))
 
     gen = functools.partial(
         generate_batch, model, params, x, max_seqlen=T,

@@ -51,6 +51,34 @@ def test_fold_layout_matches_legacy(monkeypatch, use_short_conv,
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_fold_layout_init_works_with_env_set(monkeypatch):
+    """Review finding (round 4): with GLA_FOLD_LAYOUT=1 exported BEFORE
+    model construction (exactly how the queued hardware A/B runs), init
+    must still create every param (the folded einsums read submodule
+    kernels that only exist if init takes the legacy path)."""
+    monkeypatch.setenv("GLA_FOLD_LAYOUT", "1")
+    layer, params, x = _layer_and_inputs(True, "chunk_pallas")
+    y = layer.apply(params, x)
+    assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+def test_fold_layout_falls_back_on_quantized_tree(monkeypatch):
+    """A {int8_q, int8_s}-swapped tree must take the QDense-mediated legacy
+    path (the folded einsums read raw kernel leaves)."""
+    from lina_speech_tpu.utils.quantize import quantize_dense_params
+
+    layer, params, x = _layer_and_inputs(False, "chunk",
+                                         dtype=jnp.bfloat16)
+    x = x.astype(jnp.bfloat16)
+    pq = jax.jit(lambda t: quantize_dense_params(t, min_size=1))(params)
+    monkeypatch.setenv("GLA_FOLD_LAYOUT", "0")
+    y0 = layer.apply(pq, x)
+    monkeypatch.setenv("GLA_FOLD_LAYOUT", "1")
+    y1 = layer.apply(pq, x)
+    np.testing.assert_array_equal(np.asarray(y0, np.float32),
+                                  np.asarray(y1, np.float32))
+
+
 def test_fold_layout_final_state_matches(monkeypatch):
     """Prefill path (output_final_state=True): the folded layout must
     produce the same final recurrent state and conv rings."""
