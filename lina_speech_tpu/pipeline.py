@@ -74,6 +74,104 @@ class TTSPipeline:
             waves.append(np.asarray(wav[0]))
         return waves, res
 
+    def stream_synthesize(
+        self,
+        text: str,
+        max_seqlen: int = 1000,
+        k: int = 100,
+        temp: float = 1.0,
+        window: int = 60,
+        context: int = 64,
+        chunk: int = 16,
+        max_text_len: int = 64,
+        seed: int = 0,
+        prompt_codes=None,
+    ):
+        """Streaming TTS: yield waveform chunks WHILE tokens generate.
+
+        Chunked decode (DecodeServer, one slot) interleaves with windowed
+        vocoding (same clamped-slice scheme as
+        :func:`codec.wavtokenizer.vocode_streaming`, so the concatenated
+        chunks equal its output on the final code sequence): a window of
+        ``window`` frames is vocoded as soon as ``context`` lookahead
+        frames exist behind it. Time-to-first-audio is therefore
+        ~``window + context + q`` decode steps instead of the whole
+        utterance — a latency capability the one-shot reference flow
+        (pretrained.py:192-207) does not have. The vocoder backbone is
+        time-global, so ``context`` bounds fidelity to the one-shot
+        decode (see vocode_streaming).
+
+        Yields (B=1, window*hop) waveform arrays; the final chunks flush
+        whatever remains after generation stops.
+        """
+        from lina_speech_tpu.serving import DecodeServer
+
+        srv = DecodeServer(self.model, self.params, n_slots=1,
+                           max_text_len=max_text_len, chunk=chunk, k=k,
+                           temp=temp, seed=seed)
+        ids = np.asarray(self.tokenizer.encode(text))
+        rid = srv.submit(ids, prompt=prompt_codes, max_len=max_seqlen)
+
+        q = self.model.n_quant
+        hop = self.wavtok.config.hop_length
+        full = window + 2 * context
+        dec = jax.jit(lambda p, seg: self.wavtok.apply(
+            p, seg, method=WavTokenizer.codes_to_audio))
+
+        emitted = 0  # frames vocoded so far
+
+        def vocode(codes_np: np.ndarray, e: int, take: int, T: int):
+            s0 = min(max(0, e - context), max(0, T - full))
+            seg = codes_np[:, None, s0:s0 + min(full, T)]
+            wav = dec(self.wavtok_params, jnp.asarray(seg))
+            off = (e - s0) * hop
+            return np.asarray(wav[:, off:off + take * hop])
+
+        done = []
+        while srv.active and not done:
+            done = srv.run(max_chunks=1)
+            part = srv.partials().get(rid)
+            if part is None or done:
+                break
+            codes = undelay_stream(part, q, stopped=False)
+            # emit every window whose lookahead exists; keep the live
+            # edge un-emitted (its slice would need future frames)
+            while (emitted + window + context <= codes.shape[1]
+                   and codes.shape[1] >= full):
+                yield vocode(codes, emitted, window, codes.shape[1])
+                emitted += window
+        if not done:
+            done = srv.run()
+        c = next(cc for cc in done if cc.rid == rid)
+        codes = undelay_stream(np.asarray(c.tokens), q, stopped=c.stopped)
+        T = codes.shape[1]
+        while emitted < T:
+            take = min(window, T - emitted)
+            yield vocode(codes, emitted, take, T)
+            emitted += take
+
+
+def undelay_stream(tokens: np.ndarray, n_quant: int, stopped: bool,
+                   n_special: int = 3) -> np.ndarray:
+    """Assemble raw codec codes from a SAMPLED token stream incrementally.
+
+    The sampled stream starts at delayed position 1 (the forced head token
+    is position 0), so ``code_i[j] = tokens[i + j, j] - n_special`` — code
+    ``i`` is complete once step ``i + q - 1`` has been sampled. Unlike the
+    reference cut convention (tools.py:61-67 applied to the sampled
+    stream, which drops code_0), this keeps every complete code.
+
+    tokens: (steps, q); returns (q, N) with N = usable steps - q + 1
+    (``stopped=True`` excludes the final all-stop row first).
+    """
+    steps = tokens.shape[0] - (1 if stopped else 0)
+    q = n_quant
+    n = steps - q + 1
+    if n <= 0:
+        return np.zeros((q, 0), tokens.dtype)
+    idx = np.arange(n)[None, :] + np.arange(q)[:, None]  # (q, n)
+    return np.take_along_axis(tokens.T, idx, axis=1) - n_special
+
 
 def write_wav(path: str, audio: np.ndarray, sample_rate: int = 24000) -> None:
     """Minimal PCM16 WAV writer (no soundfile dependency)."""

@@ -413,6 +413,12 @@ class DecodeServer:
     def active(self) -> int:
         return sum(1 for s in self._slots if s.rid is not None)
 
+    def partials(self) -> Dict[int, np.ndarray]:
+        """Tokens produced so far per ACTIVE request: {rid: (steps, q)}.
+        Streaming consumers poll this between ``run(max_chunks=1)`` calls."""
+        return {s.rid: np.stack(s.tokens) for s in self._slots
+                if s.rid is not None and s.tokens}
+
     def run(self, max_chunks: Optional[int] = None) -> List[Completion]:
         """Drain queue + slots; returns completions in finish order."""
         chunks = 0
