@@ -127,21 +127,20 @@ class TTSPipeline:
             off = (e - s0) * hop
             return np.asarray(wav[:, off:off + take * hop])
 
-        done = []
-        while srv.active and not done:
-            done = srv.run(max_chunks=1)
+        # NB requests sit in the queue until run() refills, so srv.active
+        # is 0 right after submit — loop on completion, not on active
+        done = srv.run(max_chunks=1)
+        while not done:
             part = srv.partials().get(rid)
-            if part is None or done:
-                break
-            codes = undelay_stream(part, q, stopped=False)
-            # emit every window whose lookahead exists; keep the live
-            # edge un-emitted (its slice would need future frames)
-            while (emitted + window + context <= codes.shape[1]
-                   and codes.shape[1] >= full):
-                yield vocode(codes, emitted, window, codes.shape[1])
-                emitted += window
-        if not done:
-            done = srv.run()
+            if part is not None:
+                codes = undelay_stream(part, q, stopped=False)
+                # emit every window whose lookahead exists; keep the live
+                # edge un-emitted (its slice would need future frames)
+                while (emitted + window + context <= codes.shape[1]
+                       and codes.shape[1] >= full):
+                    yield vocode(codes, emitted, window, codes.shape[1])
+                    emitted += window
+            done = srv.run(max_chunks=1)
         c = next(cc for cc in done if cc.rid == rid)
         codes = undelay_stream(np.asarray(c.tokens), q, stopped=c.stopped)
         T = codes.shape[1]

@@ -52,6 +52,30 @@ def _setup():
     return model, params, wavtok, wt_params
 
 
+def test_stream_yields_interleave_with_decode(monkeypatch):
+    """Audio must come out WHILE tokens generate — regression for the
+    round-4 bug where srv.active==0 right after submit skipped the live
+    loop and everything flushed at the end."""
+    import lina_speech_tpu.serving as serving_mod
+
+    model, params, wavtok, wt_params = _setup()
+    pipe = TTSPipeline(model, params, wavtok, wt_params, TextTokenizer())
+    orig_run = serving_mod.DecodeServer.run
+    calls = {"n": 0}
+
+    def run(self, max_chunks=None):
+        out = orig_run(self, max_chunks=max_chunks)
+        calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(serving_mod.DecodeServer, "run", run)
+    yields_at = [calls["n"] for _ in pipe.stream_synthesize(
+        "stream me", max_seqlen=40, k=5, seed=5, window=8, context=6,
+        chunk=4)]
+    live = sum(1 for y in yields_at if y < max(yields_at))
+    assert live >= 2, yields_at
+
+
 def test_stream_synthesize_matches_windowed_vocode():
     model, params, wavtok, wt_params = _setup()
     pipe = TTSPipeline(model, params, wavtok, wt_params, TextTokenizer())
