@@ -129,6 +129,141 @@ class ArithmeticCoder:
         return self._packer.flush()
 
 
+class _NotBuilt(Exception):
+    pass
+
+
+_NATIVE_LIB = None
+
+
+def _native_lib():
+    """Build/load the C++ coder (native/ac.cpp); None when unavailable or
+    disabled via LINA_NATIVE_AC=0."""
+    global _NATIVE_LIB
+    if _NATIVE_LIB is not None:
+        return _NATIVE_LIB or None
+    import ctypes
+    import os
+    import subprocess
+
+    if os.environ.get("LINA_NATIVE_AC", "1") != "1":
+        _NATIVE_LIB = False
+        return None
+    ndir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                        "native"))
+    so, src = os.path.join(ndir, "libac.so"), os.path.join(ndir, "ac.cpp")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                            src, "-o", so], check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+    except (OSError, subprocess.CalledProcessError):
+        _NATIVE_LIB = False
+        return None
+    c = ctypes
+    lib.ac_enc_create.restype = c.c_void_p
+    lib.ac_enc_push.argtypes = [c.c_void_p, c.POINTER(c.c_int64), c.c_int,
+                                c.c_int]
+    lib.ac_enc_push_many.argtypes = [c.c_void_p, c.POINTER(c.c_int64),
+                                     c.POINTER(c.c_int32), c.c_int, c.c_int]
+    lib.ac_enc_flush_size.restype = c.c_int64
+    lib.ac_enc_flush_size.argtypes = [c.c_void_p]
+    lib.ac_enc_copy.argtypes = [c.c_void_p, c.POINTER(c.c_uint8)]
+    lib.ac_enc_destroy.argtypes = [c.c_void_p]
+    lib.ac_dec_create.restype = c.c_void_p
+    lib.ac_dec_create.argtypes = [c.POINTER(c.c_uint8), c.c_int64]
+    lib.ac_dec_pull.restype = c.c_int
+    lib.ac_dec_pull.argtypes = [c.c_void_p, c.POINTER(c.c_int64), c.c_int]
+    lib.ac_dec_pull_many.argtypes = [c.c_void_p, c.POINTER(c.c_int64),
+                                     c.c_int, c.c_int, c.POINTER(c.c_int32)]
+    lib.ac_dec_destroy.argtypes = [c.c_void_p]
+    _NATIVE_LIB = lib
+    return lib
+
+
+def _i64p(a):
+    import ctypes
+
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+class NativeArithmeticCoder:
+    """C++ encoder (native/ac.cpp), bit-identical to ArithmeticCoder."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        self._h = lib.ac_enc_create()
+
+    def push(self, symbol: int, cdf: np.ndarray):
+        cdf = np.ascontiguousarray(cdf, np.int64)
+        self._lib.ac_enc_push(self._h, _i64p(cdf), len(cdf) - 1, int(symbol))
+
+    def push_many(self, symbols: np.ndarray, cdfs: np.ndarray):
+        """symbols (m,), cdfs (m, n+1): one native call for a whole step."""
+        import ctypes
+
+        cdfs = np.ascontiguousarray(cdfs, np.int64)
+        syms = np.ascontiguousarray(symbols, np.int32)
+        self._lib.ac_enc_push_many(
+            self._h, _i64p(cdfs),
+            syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cdfs.shape[0], cdfs.shape[1] - 1)
+
+    def flush(self) -> bytes:
+        import ctypes
+
+        n = self._lib.ac_enc_flush_size(self._h)
+        out = np.zeros(int(n), np.uint8)
+        self._lib.ac_enc_copy(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        self._lib.ac_enc_destroy(self._h)
+        self._h = None
+        return out.tobytes()
+
+
+class NativeArithmeticDecoder:
+    """C++ decoder, bit-identical to ArithmeticDecoder."""
+
+    def __init__(self, lib, data: bytes):
+        import ctypes
+
+        self._lib = lib
+        buf = np.frombuffer(data, np.uint8)
+        self._h = lib.ac_dec_create(
+            np.ascontiguousarray(buf).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)), len(data))
+
+    def pull(self, cdf: np.ndarray) -> int:
+        cdf = np.ascontiguousarray(cdf, np.int64)
+        return int(self._lib.ac_dec_pull(self._h, _i64p(cdf), len(cdf) - 1))
+
+    def pull_many(self, cdfs: np.ndarray) -> np.ndarray:
+        import ctypes
+
+        cdfs = np.ascontiguousarray(cdfs, np.int64)
+        out = np.zeros(cdfs.shape[0], np.int32)
+        self._lib.ac_dec_pull_many(
+            self._h, _i64p(cdfs), cdfs.shape[0], cdfs.shape[1] - 1,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None:
+            self._lib.ac_dec_destroy(self._h)
+            self._h = None
+
+
+def make_coder():
+    """Native encoder when buildable, Python fallback otherwise."""
+    lib = _native_lib()
+    return NativeArithmeticCoder(lib) if lib else ArithmeticCoder()
+
+
+def make_decoder(data: bytes):
+    lib = _native_lib()
+    return NativeArithmeticDecoder(lib, data) if lib else ArithmeticDecoder(data)
+
+
 class ArithmeticDecoder:
     """Mirror of :class:`ArithmeticCoder`."""
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lina_speech_tpu.codec.ac import (
-    ArithmeticCoder, ArithmeticDecoder, build_stable_quantized_cdf,
+    build_stable_quantized_cdf, make_coder, make_decoder,
 )
 from lina_speech_tpu.codec.streaming_transformer import (
     StreamingTransformerEncoder, init_streaming_state,
@@ -96,15 +96,19 @@ def compress(model: EncodecLM, params, codes: np.ndarray,
     """codes: (K, T) ints in [0, card) -> entropy-coded bytes."""
     K, T = codes.shape
     step = _step_fn(model)
-    coder = ArithmeticCoder()
+    coder = make_coder()  # native C++ coder when buildable (codec/ac.py)
     states, offset = _init_stream(model)
     tok = jnp.zeros((1, K, 1), jnp.int32)  # initial token
     for t in range(T):
         probs, states, offset = step(params, tok, states, offset)
         p = np.asarray(probs[0, :, 0], np.float64)  # (K, card)
-        for k in range(K):
-            cdf = build_stable_quantized_cdf(p[k], total_range_bits)
-            coder.push(int(codes[k, t]), cdf)
+        cdfs = np.stack([build_stable_quantized_cdf(p[k], total_range_bits)
+                         for k in range(K)])
+        if hasattr(coder, "push_many"):
+            coder.push_many(codes[:, t], cdfs)
+        else:
+            for k in range(K):
+                coder.push(int(codes[k, t]), cdfs[k])
         tok = jnp.asarray(codes[:, t], jnp.int32)[None, :, None] + 1
     return coder.flush()
 
@@ -113,15 +117,19 @@ def decompress(model: EncodecLM, params, data: bytes, n_q: int, length: int,
                total_range_bits: int = 24) -> np.ndarray:
     """Inverse of :func:`compress` -> (n_q, length) codes."""
     step = _step_fn(model)
-    dec = ArithmeticDecoder(data)
+    dec = make_decoder(data)
     states, offset = _init_stream(model)
     tok = jnp.zeros((1, n_q, 1), jnp.int32)
     out = np.zeros((n_q, length), np.int64)
     for t in range(length):
         probs, states, offset = step(params, tok, states, offset)
         p = np.asarray(probs[0, :, 0], np.float64)
-        for k in range(n_q):
-            cdf = build_stable_quantized_cdf(p[k], total_range_bits)
-            out[k, t] = dec.pull(cdf)
+        cdfs = np.stack([build_stable_quantized_cdf(p[k], total_range_bits)
+                         for k in range(n_q)])
+        if hasattr(dec, "pull_many"):
+            out[:, t] = dec.pull_many(cdfs)
+        else:
+            for k in range(n_q):
+                out[k, t] = dec.pull(cdfs[k])
         tok = jnp.asarray(out[:, t], jnp.int32)[None, :, None] + 1
     return out

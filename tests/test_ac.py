@@ -57,3 +57,91 @@ def test_compression_approaches_entropy():
     dec = ArithmeticDecoder(data)
     out = [dec.pull(cdf) for _ in symbols]
     np.testing.assert_array_equal(np.asarray(out), symbols)
+
+
+# ------------------------------------------------------- native C++ coder
+def _native_or_skip():
+    from lina_speech_tpu.codec.ac import _native_lib
+
+    lib = _native_lib()
+    if lib is None:
+        pytest.skip("native AC unavailable (no g++)")
+    return lib
+
+
+def test_native_encoder_bitstream_identical_to_python():
+    from lina_speech_tpu.codec.ac import NativeArithmeticCoder
+
+    lib = _native_or_skip()
+    rng = np.random.default_rng(7)
+    n_sym, card = 800, 100
+    pdfs = rng.dirichlet(np.full(card, 0.2), size=n_sym)
+    symbols = np.asarray([rng.choice(card, p=p) for p in pdfs])
+    cdfs = np.stack([build_stable_quantized_cdf(p) for p in pdfs])
+
+    py = ArithmeticCoder()
+    for s, c in zip(symbols, cdfs):
+        py.push(int(s), c)
+    nat = NativeArithmeticCoder(lib)
+    nat.push_many(symbols, cdfs)
+    assert nat_flush_eq(py.flush(), nat.flush())
+
+
+def nat_flush_eq(a: bytes, b: bytes) -> bool:
+    assert a == b, (len(a), len(b))
+    return True
+
+
+def test_native_decoder_matches_python_and_roundtrips():
+    from lina_speech_tpu.codec.ac import (
+        NativeArithmeticDecoder, make_coder, make_decoder,
+    )
+
+    lib = _native_or_skip()
+    rng = np.random.default_rng(11)
+    n_sym, card = 600, 47
+    pdfs = rng.dirichlet(np.full(card, 0.4), size=n_sym)
+    symbols = np.asarray([rng.choice(card, p=p) for p in pdfs])
+    cdfs = np.stack([build_stable_quantized_cdf(p) for p in pdfs])
+
+    enc = make_coder()  # native
+    enc.push_many(symbols, cdfs)
+    data = enc.flush()
+
+    nat = NativeArithmeticDecoder(lib, data)
+    out_n = nat.pull_many(cdfs)
+    np.testing.assert_array_equal(out_n, symbols)
+
+    # Python decoder reads the native stream identically (cross-impl)
+    dec = ArithmeticDecoder(data)
+    out_p = [dec.pull(c) for c in cdfs]
+    np.testing.assert_array_equal(np.asarray(out_p), symbols)
+
+
+def test_native_coder_throughput_sanity():
+    """The point of the C++ coder: it must beat the Python loop clearly
+    (typically 30-100x; assert a conservative 5x so CI noise can't flake)."""
+    import time
+
+    from lina_speech_tpu.codec.ac import NativeArithmeticCoder
+
+    lib = _native_or_skip()
+    rng = np.random.default_rng(3)
+    n_sym, card = 3000, 256
+    pdfs = rng.dirichlet(np.full(card, 0.3), size=n_sym)
+    symbols = np.asarray([rng.choice(card, p=p) for p in pdfs])
+    cdfs = np.stack([build_stable_quantized_cdf(p) for p in pdfs])
+
+    t0 = time.perf_counter()
+    py = ArithmeticCoder()
+    for s, c in zip(symbols, cdfs):
+        py.push(int(s), c)
+    py.flush()
+    t_py = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    nat = NativeArithmeticCoder(lib)
+    nat.push_many(symbols, cdfs)
+    nat.flush()
+    t_nat = time.perf_counter() - t0
+    assert t_py / max(t_nat, 1e-9) > 5.0, (t_py, t_nat)
