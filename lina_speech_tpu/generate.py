@@ -62,13 +62,29 @@ def _sample_tokens(key: jax.Array, logits: Array, k: int, temp: float,
     return jnp.stack(cols, axis=1)
 
 
+def _tile_state(model: LinaModel, state, b: int):
+    """Duplicate every state leaf along its batch axis (leaf-wise axis
+    inference against the b=1 state shapes) — CFG doubles the batch."""
+    one = jax.eval_shape(lambda: model.empty_state(1))
+    ref = jax.eval_shape(lambda: model.empty_state(b))
+
+    def tile(leaf, l1, lb):
+        ax = next(i for i in range(len(lb.shape))
+                  if lb.shape[i] == b and l1.shape[i] == 1
+                  and lb.shape[:i] + lb.shape[i + 1:]
+                  == l1.shape[:i] + l1.shape[i + 1:])
+        return jnp.concatenate([leaf, leaf], axis=ax)
+
+    return jax.tree_util.tree_map(tile, state, one, ref)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "model", "max_seqlen", "k", "first_greedy_quant", "temp",
         "force_max_seqlen", "return_att", "reference_compat_sampling",
         "approx_topk", "lazy_window", "weight_quant", "quant_min_size",
-        "state_quant",
+        "state_quant", "cfg_coef",
     ),
 )
 def generate_batch(
@@ -90,6 +106,7 @@ def generate_batch(
     weight_quant: Optional[str] = None,
     quant_min_size: int = 1 << 16,
     state_quant: Optional[str] = None,
+    cfg_coef: Optional[float] = None,
 ) -> GenerateResult:
     """Generate codec tokens for a batch.
 
@@ -118,6 +135,12 @@ def generate_batch(
             647 GB/s achievable on v5e), so int8 halves the dominant
             traffic. Opt-in quality knob: states requantize at every
             fold, the scale rides the readout query for free.
+        cfg_coef: opt-in classifier-free guidance (requires a model
+            trained with ``mask_text_p > 0``): the batch is doubled with
+            the all-mask text and every step samples from
+            ``l_uncond + cfg_coef * (l_cond - l_uncond)``. ``cfg_coef=1``
+            is exactly the unguided run (tested); >1 sharpens text
+            adherence at 2x decode compute.
         lazy_window: > 0 enables lazy micro-chunk decode with that window
             size L (GLA backbones only): recurrent states become READ-ONLY
             between folds, token contributions ride small (L, ...) buffers,
@@ -132,6 +155,30 @@ def generate_batch(
     if state_quant is not None and lazy_window <= 0:
         raise ValueError("state_quant requires lazy_window > 0 (the "
                          "read-only base state is what gets quantized)")
+
+    # Classifier-free guidance (opt-in): the model trains with text
+    # dropout to a dedicated mask token (mask_text_p, LinaModel.__call__ —
+    # reference modeling_lina.py:68-70), so at inference the batch is
+    # DOUBLED with the all-mask text and every step's logits are guided
+    # l = l_uncond + cfg_coef * (l_cond - l_uncond) (cfg_coef=1 ==
+    # unguided exactly; tested). 2x decode compute, opt-in quality knob.
+    cfg = cfg_coef is not None
+    if cfg:
+        if model.mask_text_p <= 0.0:
+            raise ValueError("cfg_coef requires a model trained with "
+                             "mask_text_p > 0 (no mask token otherwise)")
+        x = jnp.concatenate(
+            [x, jnp.full_like(x, model.n_txt_vocab - 1)], axis=0)
+
+    def guide(logits):
+        """(2b, ...) -> (b, ...) guided logits (identity without CFG)."""
+        if not cfg:
+            return logits
+        lc, lu = logits[:b], logits[b:]
+        return (lu + cfg_coef * (lc - lu)).astype(logits.dtype)
+
+    tile = (lambda z: jnp.concatenate([z, z], axis=0)) if cfg \
+        else (lambda z: z)
 
     x_enc = model.apply(params, x, method=LinaModel.encode_text)
 
@@ -167,7 +214,9 @@ def generate_batch(
     y_embd0 = embed(y_start)  # (b, 1, d)
 
     if init_state is None:
-        init_state = model.empty_state(b)
+        init_state = model.empty_state(2 * b if cfg else b)
+    elif cfg:
+        init_state = _tile_state(model, init_state, b)
 
     # ---- chunk-parallel prompt prefill ----
     if prompt is not None:
@@ -182,9 +231,12 @@ def generate_batch(
         forced = y_embd0
 
     logits_pre, att_pre, state = model.apply(
-        params, forced, x_enc, init_state, return_att=return_att,
+        params, tile(forced), x_enc, init_state, return_att=return_att,
         method=LinaModel.prefill,
-    )  # logits_pre: (b, p+1, q, l)
+    )  # logits_pre: (b, p+1, q, l) — (2b, ...) under CFG
+    logits_pre = guide(logits_pre)
+    if return_att and cfg:
+        att_pre = att_pre[:b]
 
     # Sample the recorded predictions for steps 0..p_len (vectorized).
     n_pre = p_len + 1
@@ -229,7 +281,7 @@ def generate_batch(
 
     stopped = jnp.any(pre_stop, axis=1)  # (b,) rows that already emitted stop
     # next input: embedding of the last prefill sample (free-running start)
-    y_next = embed(pre_tokens[:, -1].T[:, :, None])[:, 0]  # (b, d)
+    y_next = tile(embed(pre_tokens[:, -1].T[:, :, None])[:, 0])  # (b, d)
 
     class Carry(NamedTuple):
         t: Array
@@ -253,16 +305,18 @@ def generate_batch(
             method=LinaModel.decode_step,
         )
         key, sub = jax.random.split(c.key)
-        toks = _sample_tokens(sub, logits, k, temp, first_greedy_quant,
+        toks = _sample_tokens(sub, guide(logits), k, temp,
+                              first_greedy_quant,
                               reference_compat_sampling, approx_topk)  # (b, q)
         tokens = jax.lax.dynamic_update_index_in_dim(c.tokens, toks, c.t, axis=0)
         is_stop = jnp.all(toks == stop_id, axis=-1)
         stops = jax.lax.dynamic_update_index_in_dim(c.stops, is_stop, c.t, axis=0)
         att_b = c.att
         if return_att:
-            att_b = jax.lax.dynamic_update_index_in_dim(c.att, att, c.t, axis=0)
-        y_embd = model.apply(lp, toks.T[:, :, None],
-                             method=LinaModel.embed_tokens)[:, 0]
+            att_b = jax.lax.dynamic_update_index_in_dim(c.att, att[:b],
+                                                        c.t, axis=0)
+        y_embd = tile(model.apply(lp, toks.T[:, :, None],
+                                  method=LinaModel.embed_tokens)[:, 0])
         return Carry(c.t + 1, y_embd, state, tokens, stops, att_b,
                      c.stopped | is_stop, key)
 

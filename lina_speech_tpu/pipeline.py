@@ -47,8 +47,11 @@ class TTSPipeline:
         max_seqlen: int = 1000,
         k: int = 100,
         temp: float = 1.0,
+        cfg_coef: Optional[float] = None,
     ) -> Tuple[List[np.ndarray], GenerateResult]:
-        """Returns (list of per-row waveforms, raw GenerateResult)."""
+        """Returns (list of per-row waveforms, raw GenerateResult).
+        ``cfg_coef`` enables classifier-free guidance (see generate_batch;
+        needs a model trained with mask_text_p > 0)."""
         ids = self.tokenizer.encode(text)
         x = jnp.asarray(ids, jnp.int32)[None, :].repeat(batch_size, axis=0)
         if prompt_audio is not None and prompt_codes is None:
@@ -59,6 +62,7 @@ class TTSPipeline:
         res = generate_batch(
             self.model, self.params, x, key, prompt=prompt_codes,
             init_state=init_state, max_seqlen=max_seqlen, k=k, temp=temp,
+            cfg_coef=cfg_coef,
         )
         cuts = cut_outputs(res, n_quant=self.model.n_quant,
                            n_special_token_in=self.model.n_special_token_in)

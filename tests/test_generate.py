@@ -115,3 +115,51 @@ def test_lazy_window_simple_gla_matches_classic():
                         lazy_window=8)
     np.testing.assert_array_equal(np.asarray(r0.tokens),
                                   np.asarray(r1.tokens))
+
+
+def test_cfg_coef_one_is_exactly_unguided():
+    """Classifier-free guidance: cfg_coef=1 reduces to l_cond, so the
+    doubled-batch run must reproduce the plain run token-exactly — pins
+    the whole CFG plumbing (tiled states/embeddings, guided sampling)."""
+    import dataclasses
+
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+
+    cfg = dataclasses.replace(lina_gla_tiny(), mask_text_p=0.1)
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, 256)
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        {"params": jax.random.PRNGKey(2), "text_mask": jax.random.PRNGKey(4)},
+        x, y, jnp.ones((2, 8, 8), bool), jnp.ones((2, 8, 8), bool),
+        jnp.ones((2, 8), bool))
+    prompt = jax.random.randint(jax.random.PRNGKey(5),
+                                (cfg.n_quant, 2, 3), 0, cfg.n_codebook)
+    common = dict(max_seqlen=12, k=1, force_max_seqlen=True, prompt=prompt)
+    r0 = generate_batch(model, params, x, jax.random.PRNGKey(3), **common)
+    r1 = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                        cfg_coef=1.0, **common)
+    np.testing.assert_array_equal(np.asarray(r0.tokens),
+                                  np.asarray(r1.tokens))
+
+    # guided decoding with a real coefficient runs and differs somewhere
+    r3 = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                        cfg_coef=3.0, **common)
+    assert np.asarray(r3.tokens).shape == np.asarray(r0.tokens).shape
+
+
+def test_cfg_requires_mask_token():
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+
+    model = build_model(lina_gla_tiny())  # mask_text_p == 0
+    x = jax.random.randint(jax.random.PRNGKey(0), (1, 6), 3, 256)
+    y = jax.random.randint(jax.random.PRNGKey(1), (1, 6, 1), 3, 20)
+    params = model.init(jax.random.PRNGKey(2), x, y,
+                        jnp.ones((1, 6, 6), bool), jnp.ones((1, 6, 6), bool),
+                        jnp.ones((1, 6), bool))
+    import pytest
+
+    with pytest.raises(ValueError, match="mask_text_p"):
+        generate_batch(model, params, x, jax.random.PRNGKey(3),
+                       max_seqlen=4, cfg_coef=2.0)
