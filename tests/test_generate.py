@@ -163,3 +163,27 @@ def test_cfg_requires_mask_token():
     with pytest.raises(ValueError, match="mask_text_p"):
         generate_batch(model, params, x, jax.random.PRNGKey(3),
                        max_seqlen=4, cfg_coef=2.0)
+
+
+def test_cfg_composes_with_lazy_window():
+    """CFG tiles the state BEFORE lazy buffers attach — the combination
+    must still equal the classic CFG run token-exactly."""
+    import dataclasses
+
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+
+    cfg = dataclasses.replace(lina_gla_tiny(), mask_text_p=0.1)
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 3, 256)
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        {"params": jax.random.PRNGKey(2), "text_mask": jax.random.PRNGKey(4)},
+        x, y, jnp.ones((2, 8, 8), bool), jnp.ones((2, 8, 8), bool),
+        jnp.ones((2, 8), bool))
+    common = dict(max_seqlen=12, k=1, force_max_seqlen=True, cfg_coef=2.5)
+    r0 = generate_batch(model, params, x, jax.random.PRNGKey(3), **common)
+    r1 = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                        lazy_window=4, **common)
+    np.testing.assert_array_equal(np.asarray(r0.tokens),
+                                  np.asarray(r1.tokens))
