@@ -78,11 +78,12 @@ class Completion:
     stopped: bool         # True: emitted the stop token; False: hit max_len
 
 
-def _batch_axis(b_shape, o_shape, n_slots):
-    """Axis where the batched leaf has ``n_slots`` and the single-request
-    leaf has 1 (everything else equal)."""
+def _batch_axis(b_shape, o_shape, n_slots, one: int = 1):
+    """Axis where the batched leaf has ``n_slots`` and the request leaf
+    has ``one`` (everything else equal; ``one=2`` under CFG — a request
+    carries a conditional and an unconditional row)."""
     for i, (bs, os) in enumerate(zip(b_shape, o_shape)):
-        if bs == n_slots and os == 1 and \
+        if bs == n_slots and os == one and \
                 b_shape[:i] + b_shape[i + 1:] == o_shape[:i] + o_shape[i + 1:]:
             return i
     raise ValueError(f"no batch axis between {b_shape} and {o_shape}")
@@ -125,9 +126,19 @@ class DecodeServer:
         approx_topk: bool = False,
         int8_prefill_full_precision: bool = True,
         mesh=None,
+        cfg_coef: Optional[float] = None,
     ):
         self.model = model
         self.n_slots = n_slots
+        # Classifier-free guidance (generate.py cfg_coef, same math): the
+        # device batch doubles — rows [0:B] conditional, [B:2B] the same
+        # slots against the all-mask text; every step samples from
+        # l_uncond + cfg_coef * (l_cond - l_uncond).
+        self._cfg = cfg_coef
+        if cfg_coef is not None and model.mask_text_p <= 0.0:
+            raise ValueError("cfg_coef requires a model trained with "
+                             "mask_text_p > 0 (no mask token otherwise)")
+        self._B2 = 2 * n_slots if cfg_coef is not None else n_slots
         self.max_text_len = max_text_len
         self.chunk = chunk
         self.sample_args = (k, temp, first_greedy_quant, approx_topk)
@@ -185,11 +196,12 @@ class DecodeServer:
                     "DecodeServer requires per-slot state; this backbone "
                     "keeps a batch-shared scalar in its state (transformer "
                     "KV-cache clock) and cannot mix slot progress")
-        self._x_enc = jnp.zeros((B, m, d), cdt)
-        self._ca_mask = jnp.zeros((B, 1, m), bool)
-        self._y_embd = jnp.zeros((B, d), cdt)
-        self._t = jnp.zeros((B,), jnp.int32)
-        self._state = model.empty_state(B)
+        B2 = self._B2
+        self._x_enc = jnp.zeros((B2, m, d), cdt)
+        self._ca_mask = jnp.zeros((B2, 1, m), bool)
+        self._y_embd = jnp.zeros((B2, d), cdt)
+        self._t = jnp.zeros((B2,), jnp.int32)
+        self._state = model.empty_state(B2)
 
         # Multi-chip serving: shard the SLOT BATCH over the mesh's "dp"
         # axis — the chunked decode loop then runs dp-parallel across
@@ -202,9 +214,9 @@ class DecodeServer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             dp = mesh.shape["dp"]
-            if n_slots % dp != 0:
-                raise ValueError(f"n_slots {n_slots} not divisible by "
-                                 f"dp={dp}")
+            if self._B2 % dp != 0:
+                raise ValueError(f"device batch {self._B2} not divisible "
+                                 f"by dp={dp}")
             batched = NamedSharding(mesh, P("dp"))
             self._x_enc = jax.device_put(self._x_enc, batched)
             self._ca_mask = jax.device_put(self._ca_mask, batched)
@@ -215,7 +227,7 @@ class DecodeServer:
                     b_leaf,
                     NamedSharding(mesh, P(*(
                         ("dp" if i == _batch_axis(b_leaf.shape,
-                                                  o_leaf.shape, B)
+                                                  o_leaf.shape, self._B2)
                          else None)
                         for i in range(b_leaf.ndim))))),
                 self._state, one)
@@ -239,25 +251,35 @@ class DecodeServer:
         return self.model.apply(dev_params, x, enc_mask,
                                 method=LinaModel.encode_text)
 
+    def _guide(self, logits):
+        """(2B, ...) -> (B, ...) CFG-guided logits; identity without CFG."""
+        if self._cfg is None:
+            return logits
+        half = logits.shape[0] // 2
+        lc, lu = logits[:half], logits[half:]
+        return (lu + self._cfg * (lc - lu)).astype(logits.dtype)
+
     def _prefill_chunk_impl(self, dev_params, x_enc, ca_mask, codes_chunk,
                             time_offset, key, conv_history, state):
-        """One power-of-two prefill chunk (b=1). ``codes_chunk``: (q, 1, c)
-        forced codes; ``state`` threads between chunks (``conv_history``
-        consumes its conv rings mid-stream). Returns (tokens (1, c, q),
-        new_state)."""
+        """One power-of-two prefill chunk for one request (batch g=1, or
+        g=2 under CFG: conditional + all-mask rows sharing the forced
+        codes). ``codes_chunk``: (q, g, c); ``state`` threads between
+        chunks (``conv_history`` consumes its conv rings mid-stream).
+        Returns (tokens (1, c, q), new_state (g rows))."""
         model = self.model
         params = dev_params
         emb = model.apply(params, codes_chunk,
-                          method=LinaModel.embed_tokens)  # (1, c, d)
-        c = emb.shape[1]
-        pf_mask = jnp.broadcast_to(ca_mask, (1, c, ca_mask.shape[-1]))
-        pv = ca_mask[:, 0] if self._pos_needs_valid else None  # (1, m)
+                          method=LinaModel.embed_tokens)  # (g, c, d)
+        g, c = emb.shape[:2]
+        pf_mask = jnp.broadcast_to(ca_mask, (g, c, ca_mask.shape[-1]))
+        pv = ca_mask[:, 0] if self._pos_needs_valid else None  # (g, m)
         logits, _, state = model.apply(
             params, emb, x_enc, state, crossatt_mask=pf_mask,
             conv_history=conv_history, time_offset=time_offset,
             crossatt_pos_valid=pv,
             method=LinaModel.prefill,
-        )  # (1, c, q, l)
+        )  # (g, c, q, l)
+        logits = self._guide(logits)  # (1, c, q, l)
         k, temp, fgq, approx = self.sample_args
         keys = jax.random.split(key, c)
         tokens = jax.vmap(
@@ -272,21 +294,32 @@ class DecodeServer:
                                 method=LinaModel.embed_tokens)[:, 0]
 
     def _insert_impl(self, batch_state, one_state, x_enc_b, x_enc1, ca_b,
-                     ca1, y_b, y1, t_b, t1, slot):
-        B = self.n_slots
+                     ca1, y_b, y1, t_b, t1, slots):
+        """Insert a request's g rows (g=1; g=2 under CFG) at the g target
+        indices in ``slots`` — every "one" arg has leading/g-sized batch."""
+        B2 = self._B2
+        g = x_enc1.shape[0]
 
         def put(bl, ol):
-            ax = _batch_axis(bl.shape, ol.shape, B)
-            return jax.lax.dynamic_update_index_in_dim(
-                bl, jnp.squeeze(ol, axis=ax).astype(bl.dtype), slot, axis=ax)
+            ax = _batch_axis(bl.shape, ol.shape, B2, one=g)
+            out = bl
+            for j in range(g):
+                row = jax.lax.dynamic_slice_in_dim(ol, j, 1, axis=ax)
+                out = jax.lax.dynamic_update_index_in_dim(
+                    out, jnp.squeeze(row, axis=ax).astype(bl.dtype),
+                    slots[j], axis=ax)
+            return out
 
         new_state = jax.tree_util.tree_map(put, batch_state, one_state)
-        x_enc_b = jax.lax.dynamic_update_index_in_dim(
-            x_enc_b, x_enc1[0].astype(x_enc_b.dtype), slot, axis=0)
-        ca_b = jax.lax.dynamic_update_index_in_dim(ca_b, ca1[0], slot, axis=0)
-        y_b = jax.lax.dynamic_update_index_in_dim(
-            y_b, y1[0].astype(y_b.dtype), slot, axis=0)
-        t_b = jax.lax.dynamic_update_index_in_dim(t_b, t1, slot, axis=0)
+        for j in range(g):
+            x_enc_b = jax.lax.dynamic_update_index_in_dim(
+                x_enc_b, x_enc1[j].astype(x_enc_b.dtype), slots[j], axis=0)
+            ca_b = jax.lax.dynamic_update_index_in_dim(ca_b, ca1[j],
+                                                       slots[j], axis=0)
+            y_b = jax.lax.dynamic_update_index_in_dim(
+                y_b, y1[j].astype(y_b.dtype), slots[j], axis=0)
+            t_b = jax.lax.dynamic_update_index_in_dim(t_b, t1, slots[j],
+                                                      axis=0)
         return new_state, x_enc_b, ca_b, y_b, t_b
 
     def _decode_chunk_impl(self, dev_params, state, y_embd, x_enc, ca_mask,
@@ -297,7 +330,9 @@ class DecodeServer:
         # mode XLA streams the int8 leaves each step, nothing constant-folds
         lp = dev_params
 
-        pv = ca_mask[:, 0] if self._pos_needs_valid else None  # (B, m)
+        pv = ca_mask[:, 0] if self._pos_needs_valid else None  # (B2, m)
+        tile = (lambda z: jnp.concatenate([z, z], axis=0)) \
+            if self._cfg is not None else (lambda z: z)
 
         def step(carry, kk):
             state, y_embd, t = carry
@@ -306,9 +341,10 @@ class DecodeServer:
                 crossatt_mask=ca_mask, crossatt_pos_valid=pv,
                 method=LinaModel.decode_step,
             )
-            toks = _sample_tokens(kk, logits, k, temp, fgq, False, approx)
-            y_embd = model.apply(lp, toks.T[:, :, None],
-                                 method=LinaModel.embed_tokens)[:, 0]
+            toks = _sample_tokens(kk, self._guide(logits), k, temp, fgq,
+                                  False, approx)  # (B, q)
+            y_embd = tile(model.apply(lp, toks.T[:, :, None],
+                                      method=LinaModel.embed_tokens)[:, 0])
             return (state, y_embd, t + 1), toks
 
         keys = jax.random.split(key, self.chunk)
@@ -344,11 +380,17 @@ class DecodeServer:
         mlen = len(text)
         if mlen > m:
             raise ValueError(f"text length {mlen} > max_text_len {m}")
-        x = jnp.zeros((1, m), jnp.int32).at[0, :mlen].set(text)
+        g = 2 if self._cfg is not None else 1
+        x = jnp.zeros((g, m), jnp.int32).at[0, :mlen].set(text)
+        if g == 2:
+            # unconditional row: the mask token at every valid position
+            # (generate.py CFG uses full_like(x, mask) on unpadded text)
+            x = x.at[1, :mlen].set(self.model.n_txt_vocab - 1)
         valid = jnp.arange(m) < mlen
         eye = jnp.eye(m, dtype=bool)
-        enc_mask = (valid[None, :, None] & valid[None, None, :]) | eye
-        ca1 = valid[None, None, :]  # (1, 1, m)
+        enc_mask = jnp.broadcast_to(
+            (valid[None, :, None] & valid[None, None, :]) | eye, (g, m, m))
+        ca1 = jnp.broadcast_to(valid[None, None, :], (g, 1, m))  # (g, 1, m)
         nq = self.model.n_quant
         if prompt is not None:
             p = np.asarray(prompt)
@@ -358,11 +400,12 @@ class DecodeServer:
                  + self.model.n_special_token_in], axis=2)
         else:
             codes = np.ones((nq, 1, 1), np.int32)
+        codes = np.broadcast_to(codes, (nq, g, codes.shape[2]))
         n_forced = codes.shape[2]
 
         x_enc1 = self._encode_text(self._pre_params, x, enc_mask)
         # binary-decomposed prefill: descending pow2 chunks, state threaded
-        st1 = self.model.empty_state(1)
+        st1 = self.model.empty_state(g)
         pre_rows: List[np.ndarray] = []
         off = 0
         for c in _pow2_chunks(n_forced):
@@ -378,12 +421,15 @@ class DecodeServer:
             off += c
         y1 = self._embed_one(self._pre_params,
                              jnp.asarray(pre_rows[-1])[None, :])
-
+        if g == 2:
+            y1 = jnp.concatenate([y1, y1], axis=0)
+        targets = [slot_idx] if g == 1 else [slot_idx,
+                                             self.n_slots + slot_idx]
         (self._state, self._x_enc, self._ca_mask, self._y_embd,
          self._t) = self._insert(
             self._state, st1, self._x_enc, x_enc1, self._ca_mask, ca1,
             self._y_embd, y1, self._t, jnp.asarray(n_forced, jnp.int32),
-            slot_idx)
+            jnp.asarray(targets, jnp.int32))
         slot.rid = rid
         slot.t = n_forced
         slot.max_len = max_len

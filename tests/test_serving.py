@@ -197,6 +197,36 @@ def test_mixed_prompt_lengths_bound_compiles():
     assert srv.prefill_chunk_sizes <= {1, 2, 4, 8}, srv.prefill_chunk_sizes
 
 
+def test_server_cfg_matches_generate_cfg():
+    """Classifier-free guidance in serving: greedy guided output must
+    equal generate_batch(cfg_coef=...) per request (same doubled-batch
+    math, slot-based)."""
+    cfg = dataclasses.replace(lina_gla_tiny(), mask_text_p=0.1)
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (1, 10), 3, 256)
+    y = jax.random.randint(jax.random.PRNGKey(1), (1, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        {"params": jax.random.PRNGKey(2), "text_mask": jax.random.PRNGKey(4)},
+        x, y, jnp.ones((1, 10, 10), bool), jnp.ones((1, 8, 10), bool),
+        jnp.ones((1, 8), bool))
+
+    texts = [np.asarray([5, 9, 3, 17, 8]), np.asarray([12, 4, 33])]
+    max_len = 14
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4,
+                       cfg_coef=2.5)
+    rids = [srv.submit(t, max_len=max_len) for t in texts]
+    done = {c.rid: c for c in srv.run()}
+
+    for rid, text in zip(rids, texts):
+        ref = generate_batch(
+            model, params, jnp.asarray(text)[None], jax.random.PRNGKey(9),
+            max_seqlen=max_len, k=1, force_max_seqlen=True, cfg_coef=2.5)
+        ref_toks = np.asarray(ref.tokens)[:, 0, :].T
+        c = done[rid]
+        np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
+
+
 @pytest.mark.parametrize("kind", ["rwkv6", "mamba"])
 def test_server_other_backbones_match_generate(kind):
     """The slot machinery (state-leaf batch-axis inference, insertion,
