@@ -90,6 +90,7 @@ class TTSPipeline:
         max_text_len: int = 64,
         seed: int = 0,
         prompt_codes=None,
+        cfg_coef=None,
     ):
         """Streaming TTS: yield waveform chunks WHILE tokens generate.
 
@@ -112,7 +113,7 @@ class TTSPipeline:
 
         srv = DecodeServer(self.model, self.params, n_slots=1,
                            max_text_len=max_text_len, chunk=chunk, k=k,
-                           temp=temp, seed=seed)
+                           temp=temp, seed=seed, cfg_coef=cfg_coef)
         ids = np.asarray(self.tokenizer.encode(text))
         rid = srv.submit(ids, prompt=prompt_codes, max_len=max_seqlen)
 
