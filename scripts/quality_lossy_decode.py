@@ -8,8 +8,10 @@ Measures, at flagship shapes on hardware (or --tiny on CPU for the test):
    the SAME token trajectory (isolates quantization numerics from greedy
    AR trajectory divergence — one flipped argmax forks the suffix).
 2. ``approx_topk=True`` (the bench's approx_max_k candidate selection,
-   recall ~0.95): k=100 sampled decode with IDENTICAL PRNG keys, exact vs
-   approx — tokens differ only where the candidate sets differ.
+   recall ~0.95): step-local candidate recall + TV distance of the
+   sampling distribution along the greedy trajectory.
+3. ``weight_quant="int8"`` (the b1 decode knob): greedy token agreement
+   + per-row first divergence vs the bf16 weights, classic decode path.
 
 Prints one JSON line; record the numbers in BASELINE.md next to the
 speedup claims. Reference sampling contract: model/tools.py:38-44.
@@ -219,6 +221,18 @@ def main(argv=None):
         "candidate_recall_mean": float(np.asarray(recall).mean()),
         "candidate_recall_min": float(np.asarray(recall).min()),
     }
+
+    # ---- 3. weight_quant="int8": greedy agreement on the classic decode
+    # path (b1's knob — lazy loses at b1, so measure what b1 actually runs)
+    gen_c = functools.partial(
+        generate_batch, model, params, x, max_seqlen=T,
+        force_max_seqlen=True, lazy_window=0)
+    tok_w = np.asarray(gen_c(jax.random.PRNGKey(3), k=1).tokens)
+    tok_wq = np.asarray(gen_c(jax.random.PRNGKey(3), k=1,
+                              weight_quant="int8",
+                              quant_min_size=1 << 8 if args.tiny
+                              else 1 << 16).tokens)
+    report["weight_int8_greedy"] = agreement_stats(tok_w, tok_wq)
     report["wall_s"] = round(time.perf_counter() - t0, 1)
 
     print(json.dumps(report))
