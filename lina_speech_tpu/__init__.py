@@ -36,4 +36,12 @@ def __getattr__(name):
         from lina_speech_tpu.serving import DecodeServer
 
         return DecodeServer
+    if name == "vocode_streaming":
+        from lina_speech_tpu.codec.wavtokenizer import vocode_streaming
+
+        return vocode_streaming
+    if name == "undelay_stream":
+        from lina_speech_tpu.pipeline import undelay_stream
+
+        return undelay_stream
     raise AttributeError(name)
