@@ -168,9 +168,14 @@ def _ffn_kernel(x_ref, qg_ref, sg_ref, bg_ref, qh_ref, sh_ref, bh_ref,
     g = g * sg_ref[:].astype(jnp.float32) + bg_ref[:].astype(jnp.float32)
     h = dot(x, qh_ref[:].astype(jnp.bfloat16))
     h = h * sh_ref[:].astype(jnp.float32) + bh_ref[:].astype(jnp.float32)
-    # match the unfused path's numerics: gx is cast to bf16 before the
-    # activation (QDense out_dtype), silu/mul ride the VPU in bf16
-    u = nn.silu(g.astype(jnp.bfloat16)) * h.astype(jnp.bfloat16)
+    # match the unfused path's numerics: gx is rounded to bf16 first (QDense
+    # out_dtype), then silu is computed in f32 and rounded back — exactly
+    # XLA's bf16 elementwise semantics. Mosaic cannot lower `logistic` on
+    # bf16 vectors (f32 scalar broadcast into a bf16 vector fails MLIR
+    # verification — measured on v5e), so the transcendental stays f32.
+    g_bf = g.astype(jnp.bfloat16).astype(jnp.float32)
+    u = (g_bf * (1.0 / (1.0 + jnp.exp(-g_bf)))).astype(jnp.bfloat16) \
+        * h.astype(jnp.bfloat16)
     col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1) + i * block_c
     u = jnp.where(col < h_total, u, jnp.bfloat16(0))  # mask edge-pad chunk
     part = dot(u, qo_ref[:].astype(jnp.bfloat16))
