@@ -97,9 +97,12 @@ def _level_factors(bcum: Array, row1: Array, w: int, q_cum: Array = None):
         q_cum = bcum
     bmid = _block_boundary(bcum, w, w // 2 - 1)
     hi = ((row1 % w) >= (w // 2)).astype(jnp.float32)  # (C, 1)
-    qe = jnp.exp(jnp.minimum(q_cum - bmid, 0.0)) * hi
-    ke = jnp.exp(jnp.minimum(bmid - bcum, 0.0)) * (1.0 - hi)
-    return qe, ke
+    # qe/ke live on disjoint row halves, so ONE exp serves both (the exp
+    # count is the kernel's dominant VPU-transcendental cost: 2 per level
+    # x 5 levels at C=128 halves to 5)
+    delta = jnp.where(hi > 0.0, q_cum - bmid, bmid - bcum)
+    e = jnp.exp(jnp.minimum(delta, 0.0))
+    return e * hi, e * (1.0 - hi)
 
 
 def _fwd_math(u, k, v, g, state, *, chunk_size: int, cdt):
@@ -132,10 +135,19 @@ def _fwd_math(u, k, v, g, state, *, chunk_size: int, cdt):
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * mask_w
-    # ... + near band (distance 0..3, same dyadic-4 block): row dots (VPU)
+    # ... + near band (distance 0..3, same dyadic-4 block): row dots (VPU).
+    # E_j[t] = exp(b_t - b_{t-j}) = prod_{i<j} exp(g_{t-i}) is built from ONE
+    # exp of the per-step gate by shifted products (g <= 0 so no overflow);
+    # rows t < j get 0 instead of junk, harmless because k/v shifts zero the
+    # same rows and m_j masks them anyway.
+    eg = jnp.exp(g)
+    Ej = 1.0
     for j in range(_BAND):
         kj = _shift_down(k, j)
-        Ej = jnp.exp(bcum - _shift_down(bcum, j)) if j else 1.0
+        if j == 1:
+            Ej = eg
+        elif j > 1:
+            Ej = Ej * _shift_down(eg, j - 1)
         a_j = jnp.sum(u * kj * Ej, axis=-1, keepdims=True)  # (C, 1)
         m_j = (row - col == j) if j == 0 else (
             (row - col == j) & ((row % _BAND) >= j))
@@ -284,9 +296,14 @@ def _bwd_math(u, k, v, g, s_in, do, dS, *, chunk_size: int, scale: float, cdt):
                                       preferred_element_type=jnp.float32)
     # ... + near band (distance 0..3; dA band entries are row dots of
     # do against shifted v — never materialized from the dA matrix)
+    eg = jnp.exp(g)  # one exp; E_j via shifted products (see _fwd_math band)
+    Ej = 1.0
     for j in range(_BAND):
         kj = _shift_down(k, j)
-        Ej = jnp.exp(bcum - _shift_down(bcum, j)) if j else 1.0
+        if j == 1:
+            Ej = eg
+        elif j > 1:
+            Ej = Ej * _shift_down(eg, j - 1)
         bm = (1.0 if j == 0
               else ((row1 % _BAND) >= j).astype(jnp.float32))  # (C, 1)
         da_j = jnp.sum(do * _shift_down(v, j), axis=-1, keepdims=True) * bm
