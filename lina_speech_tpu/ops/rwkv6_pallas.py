@@ -92,10 +92,18 @@ def _fwd_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, s0_ref,
             preferred_element_type=jnp.float32,
         ) * mask_w
     # ... + near band: j == 0 is the u bonus; j >= 1 uses exp(bx_t - b_{t-j})
+    # = prod_{1<=i<j} exp(g_{t-i}) — identically 1 at j == 1 (exclusive
+    # cumsum), shifted products of ONE exp(g) above; rows t < j get 0
+    # instead of junk, masked by the zero k/v shifts and m_j regardless.
+    eg1 = _shift_down(jnp.exp(g), 1) if _BAND > 2 else None
+    Ej = 1.0
     for j in range(_BAND):
         kj = _shift_down(k, j)
-        Ej = u if j == 0 else jnp.exp(bx - _shift_down(bcum, j))
-        a_j = jnp.sum(r * kj * Ej, axis=-1, keepdims=True)
+        if j == 2:
+            Ej = eg1
+        elif j > 2:
+            Ej = Ej * _shift_down(eg1, j - 2)
+        a_j = jnp.sum(r * kj * (u if j == 0 else Ej), axis=-1, keepdims=True)
         m_j = (row - col == j) if j == 0 else (
             (row - col == j) & ((row % _BAND) >= j))
         A += jnp.where(m_j, a_j, 0.0)
@@ -182,7 +190,10 @@ def _bwd_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, cs_ref, do_ref, dsf_ref,
         G += qe * jnp.dot(dAw, kke, preferred_element_type=jnp.float32)
         H += ke * jax.lax.dot_general(dAw, rqe, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-    # ---- near band (j == 0 = bonus with no gate dependence; j >= 1 decay)
+    # ---- near band (j == 0 = bonus with no gate dependence; j >= 1 decay
+    # E_j = exp(bx_t - b_{t-j}) built from ONE exp(g) — see forward kernel)
+    eg1 = _shift_down(jnp.exp(g), 1) if _BAND > 2 else None
+    Ej = 1.0
     for j in range(_BAND):
         kj = _shift_down(k, j)
         bm = (1.0 if j == 0
@@ -195,7 +206,10 @@ def _bwd_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, cs_ref, do_ref, dsf_ref,
             dk_out += da_j * u * r
             du_acc[:, :] += jnp.sum(da_j * r * k, axis=0, keepdims=True)
         else:
-            Ej = jnp.exp(bx - _shift_down(bcum, j))
+            if j == 2:
+                Ej = eg1
+            elif j > 2:
+                Ej = Ej * _shift_down(eg1, j - 2)
             a_j = jnp.sum(r * kj * Ej, axis=-1, keepdims=True)
             m_j = (row - col == j) & ((row % _BAND) >= j)
             A += jnp.where(m_j, a_j, 0.0)
