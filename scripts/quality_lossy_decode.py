@@ -30,11 +30,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def forced_decode_logits(model, params, x, tokens, lazy_window, state_quant):
+def forced_decode_logits(model, params, x, tokens, lazy_window, state_quant,
+                         weight_quant=None, quant_min_size=1 << 16):
     """Teacher-forced decode along a FIXED (q, b, T) token stream through
     the exact lazy decode path generate_batch uses; returns (T, b, q, l)
     logits. The input at step t is the embedding of tokens[:, :, t-1]
-    (step 0 uses the BOS ones vector), mirroring generate.py's loop."""
+    (step 0 uses the BOS ones vector), mirroring generate.py's loop.
+    ``weight_quant="int8"`` quantizes the decode-loop tree like
+    generate_batch (text encode + embeddings stay full precision, the
+    serving/prefill contract)."""
     import jax
     import jax.numpy as jnp
 
@@ -56,6 +60,13 @@ def forced_decode_logits(model, params, x, tokens, lazy_window, state_quant):
                 lambda p: p.astype(cdt)
                 if (hasattr(p, "dtype") and p.dtype == jnp.float32) else p,
                 params)
+        if weight_quant == "int8":
+            from lina_speech_tpu.utils.quantize import quantize_dense_params
+
+            loop_params = quantize_dense_params(params,
+                                                min_size=quant_min_size)
+        else:
+            loop_params = params
         embed = lambda t: model.apply(params, t,
                                       method=LinaModel.embed_tokens)
         y0 = embed(jnp.ones((q, b, 1), jnp.int32))[:, 0]  # (b, d)
@@ -75,7 +86,7 @@ def forced_decode_logits(model, params, x, tokens, lazy_window, state_quant):
             def step(j, acc):
                 state, logits_w = acc
                 lg, _, state = model.apply(
-                    params, ins_w[j], x_enc, state, time_step=t + j,
+                    loop_params, ins_w[j], x_enc, state, time_step=t + j,
                     lazy_p=j, method=LinaModel.decode_step)
                 return state, logits_w.at[j].set(lg.astype(jnp.float32))
 
@@ -242,6 +253,20 @@ def main(argv=None):
                               quant_min_size=1 << 8 if args.tiny
                               else 1 << 16).tokens)
     report["weight_int8_greedy"] = agreement_stats(tok_w, tok_wq)
+
+    # teacher-forced W8 numerics along the same bf16 trajectory — the
+    # per-step error behind the fast greedy divergence above
+    lg_w = forced_decode_logits(
+        model, params, x, jnp.asarray(tok_fp), args.lazy, None,
+        weight_quant="int8",
+        quant_min_size=1 << 8 if args.tiny else 1 << 16)
+    dm, dx, sc, fl = forced_stats(lg_fp, lg_w)
+    report["weight_int8_forced"] = {
+        "logit_delta_mean": float(dm),
+        "logit_delta_max": float(dx),
+        "logit_scale_mean_abs": float(sc),
+        "argmax_flip_rate": float(fl),
+    }
     report["wall_s"] = round(time.perf_counter() - t0, 1)
 
     print(json.dumps(report))
