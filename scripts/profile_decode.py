@@ -39,9 +39,14 @@ def main():
     key = jax.random.PRNGKey(0)
     x = jax.random.randint(key, (args.batch, 32), 3, cfg.n_txt_vocab)
     y = jax.random.randint(key, (2, 16, cfg.n_quant), 3, cfg.n_codebook + 3)
-    params = model.init(jax.random.PRNGKey(1), x[:2], y,
-                        jnp.ones((2, 32, 32), bool), jnp.ones((2, 16, 32), bool),
-                        jnp.ones((2, 16), bool))
+    # batch-2 init regardless of --batch (x[:2] is batch-1 when --batch 1,
+    # mismatching the batch-2 masks); jitted: eager init of the 359M model
+    # over the axon tunnel takes minutes of per-op RTT (CLAUDE.md)
+    xi = jnp.broadcast_to(x[:1], (2, x.shape[1])) if args.batch < 2 else x[:2]
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(1), xi, y,
+        jnp.ones((2, 32, 32), bool), jnp.ones((2, 16, 32), bool),
+        jnp.ones((2, 16), bool))
 
     def run(k):
         return generate_batch(
