@@ -595,9 +595,21 @@ class GatedLinearAttention(nn.Module):
         # train/initial_state.py) routes to the XLA path.
         wide_state = (jnp.dtype(state.s.dtype).itemsize >= 4
                       and jax.default_backend() == "tpu")
+        # Tiny batches also route to the XLA step: the Pallas decode
+        # kernels' minimum (batch*head) block is 8 rows (sublane multiple),
+        # so b*h < 8 pays an 8-row pad on EVERY ring/state operand plus
+        # ~9.4 us/call custom-call latency x n_layer per token. Measured
+        # (v5e, flagship b1h4, int8 weights, bf16 state, 128-step loop):
+        # fused 1.098 ms/step device vs XLA step 0.78 — 1225.9 tok/s
+        # sustained vs 605. The fused kernel stays the b>=2 win (one state
+        # read+write vs XLA's ~3 reads).
+        from lina_speech_tpu.ops.gla_pallas import _BH_BLK
+
+        tiny_batch = b * self.num_heads < _BH_BLK
         use_fused = not wide_state and (
-            self.kernel_mode == "chunk_pallas"
-            or (self.kernel_mode == "auto" and jax.default_backend() == "tpu")
+            self.kernel_mode == "chunk_pallas"  # explicit force (tests)
+            or (self.kernel_mode == "auto" and not tiny_batch
+                and jax.default_backend() == "tpu")
         )
         h_t = x_t
         if (

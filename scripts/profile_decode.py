@@ -23,6 +23,16 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--lazy-window", type=int, default=8)
     ap.add_argument("--weight-quant", default=None)
+    # bench.py overrides the config default (f32) to bf16 — a profile that
+    # leaves this unset measures the WIDE-state XLA-step decode, a
+    # different program than the bench's fused-kernel path (measured:
+    # the f32 state update alone is ~171 MB/step of "fusion" traffic).
+    ap.add_argument("--state-dtype", default="bfloat16")
+    ap.add_argument("--kernel-mode", default=None,
+                    help="override backbone kernel_mode (e.g. 'chunk' = "
+                         "XLA decode step instead of the fused Pallas one)")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="back-to-back timed calls (overhead amortization)")
     args = ap.parse_args()
 
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
@@ -31,10 +41,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+    import dataclasses
+    import time
+
     from lina_speech_tpu.config import lina_gla_169m, build_model
     from lina_speech_tpu.generate import generate_batch
 
     cfg = lina_gla_169m(compute_dtype="bfloat16")
+    bb_over = {"state_dtype": args.state_dtype}
+    if args.kernel_mode:
+        bb_over["kernel_mode"] = args.kernel_mode
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, **bb_over))
     model = build_model(cfg)
     key = jax.random.PRNGKey(0)
     x = jax.random.randint(key, (args.batch, 32), 3, cfg.n_txt_vocab)
@@ -56,11 +74,29 @@ def main():
         )
 
     res = run(jax.random.PRNGKey(2))
-    print("warm:", int(jnp.asarray(res.tokens).sum()))
+    print("warm checksum:", int(jnp.asarray(res.tokens).sum()))
+
+    # wall timing, bench.py methodology (dispatch + device + scalar fetch):
+    # wall - trace device time = fixed per-call overhead (tunnel RTT etc.)
+    t0 = time.perf_counter()
+    res = run(jax.random.PRNGKey(4))
+    int(jnp.asarray(res.tokens).sum())
+    wall = time.perf_counter() - t0
+    print(f"wall (1 call, {args.steps} steps): {wall * 1e3:.1f} ms "
+          f"-> {args.steps / wall:.1f} tok/s")
+    if args.repeats > 1:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(args.repeats):
+            acc += jnp.asarray(run(jax.random.PRNGKey(10 + i)).tokens).sum()
+        int(acc)
+        wall = time.perf_counter() - t0
+        print(f"wall ({args.repeats} back-to-back calls): {wall * 1e3:.1f} ms"
+              f" -> {args.repeats * args.steps / wall:.1f} tok/s sustained")
 
     with jax.profiler.trace(args.out):
         res = run(jax.random.PRNGKey(3))
-        print("traced:", int(jnp.asarray(res.tokens).sum()))
+        print("traced checksum:", int(jnp.asarray(res.tokens).sum()))
     print("trace written to", args.out)
 
 
