@@ -108,7 +108,8 @@ def _loss_and_metrics(model: LinaModel, params, batch: Dict[str, Any],
 def make_train_step(model: LinaModel, donate: bool = True,
                     grad_accum_steps: int = 1,
                     auto_layout: bool = False,
-                    hoist_param_cast: bool = False) -> Callable:
+                    hoist_param_cast: bool = False,
+                    unroll_accum: bool = False) -> Callable:
     """Build the jitted train step. Shard state/batch before calling; XLA
     propagates shardings and inserts dp-psum for grads and tp collectives.
 
@@ -133,7 +134,17 @@ def make_train_step(model: LinaModel, donate: bool = True,
     of the while body (verified in compiled HLO), so each micro-step
     otherwise re-reads the f32 params (2x weight bytes) into its GEMMs.
     Numerics: micro-grads are bf16-rounded before the f32 accumulation
-    (the fwd/bwd compute was already bf16 via promote_dtype)."""
+    (the fwd/bwd compute was already bf16 via promote_dtype).
+
+    ``unroll_accum=True`` replaces the micro-batch ``lax.scan`` with a
+    Python loop (same math, token-exact). Rationale: the scan carries the
+    full f32 grad tree as while-loop state, and XLA normalizes every dW
+    GEMM output (layout {0,1}) to the carry's row-major {1,0} layout ONCE
+    PER MICRO-STEP — the r4 xplane profile shows ~12 ms/micro of such
+    copies. Unrolled, the accumulator is an internal value with no fixed
+    while-signature layout, so XLA keeps it in the GEMM-output layout and
+    normalizes once per train step. Costs a ~grad_accum_steps× larger HLO
+    (slower compile), no extra device memory (adds are sequential)."""
 
     def _split_cast(params):
         """(bf16 tree for compute, f32 leaves to keep) — cast only >=2D
@@ -181,7 +192,14 @@ def make_train_step(model: LinaModel, donate: bool = True,
             mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
             (_, m0), _ = jax.eval_shape(lambda p: grads_of(p, mb0, rngs), loop_params)
             zero_m = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
-            (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), micro)
+            if unroll_accum:
+                carry = (zero_g, zero_m)
+                for i in range(grad_accum_steps):
+                    carry, _ = body(
+                        carry, jax.tree_util.tree_map(lambda x: x[i], micro))
+                grads, metrics = carry
+            else:
+                (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), micro)
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum_steps, grads)
             metrics = jax.tree_util.tree_map(lambda m: m / grad_accum_steps, metrics)
 

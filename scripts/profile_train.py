@@ -22,6 +22,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seqlen", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="grad_accum_steps (bench default is 4; --batch is "
+                         "the FULL batch, micro = batch//accum)")
+    ap.add_argument("--unroll", action="store_true",
+                    help="unroll_accum=True (Python-unrolled micro loop)")
+    ap.add_argument("--hoist", action="store_true")
     args = ap.parse_args()
 
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
@@ -47,10 +53,15 @@ def main():
         "crossatt_mask": jnp.ones((args.batch, args.seqlen, text_len), bool),
         "y_mask": jnp.ones((args.batch, args.seqlen), bool),
     }
-    params = model.init(jax.random.PRNGKey(1), x, y[:, :16], b["encoder_mask"],
-                        b["crossatt_mask"][:, :16], b["y_mask"][:, :16])
+    # jitted: eager init of the 359M model over the axon tunnel takes
+    # minutes of per-op RTT (CLAUDE.md)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(1), x, y[:, :16], b["encoder_mask"],
+        b["crossatt_mask"][:, :16], b["y_mask"][:, :16])
     state = create_train_state(model, params, TrainConfig())
-    step = make_train_step(model)
+    step = make_train_step(model, grad_accum_steps=args.accum,
+                           unroll_accum=args.unroll,
+                           hoist_param_cast=args.hoist)
     rng = jax.random.PRNGKey(2)
 
     for _ in range(2):  # compile + warm

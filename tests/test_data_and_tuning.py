@@ -125,6 +125,31 @@ def test_grad_accum_hoisted_cast_matches():
                                rtol=1e-2)
 
 
+def test_grad_accum_unrolled_matches_scan():
+    """unroll_accum=True (Python-unrolled micro-batch loop, harness.py)
+    is the same math as the lax.scan accumulation — it exists purely so
+    XLA can keep the f32 grad accumulators in the dW GEMM output layout
+    instead of normalizing them per micro-step (r4 train profile: ~12
+    ms/micro of while-carry layout copies)."""
+    model, params, _ = model_and_params()
+    gen = synthetic_tts_batches(
+        batch_size=4, n_quant=2, n_codebook=50, min_audio_len=8,
+        max_audio_len=8, pad_to_multiple=8,
+    )
+    batch = next(gen)
+    cfg = TrainConfig(n_warmup_steps=2, n_training_steps=10)
+    s1 = create_train_state(model, params, cfg)
+    s2 = create_train_state(model, params, cfg)
+    scan = make_train_step(model, donate=False, grad_accum_steps=2)
+    unrolled = make_train_step(model, donate=False, grad_accum_steps=2,
+                               unroll_accum=True)
+    _, m1 = scan(s1, batch, jax.random.PRNGKey(0))
+    _, m2 = unrolled(s2, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+
+
 def test_initial_state_tuning_loop_reduces_loss():
     model, params, _ = model_and_params()
     gen = synthetic_tts_batches(
