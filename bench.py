@@ -224,6 +224,21 @@ def main():
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(batch * q_tok_s / CODEC_HZ / 10.0, 3),
         })
+        if os.environ.get("BENCH_COMBO_QUANT", "1") == "1":
+            # int8 state + int8 weights together: at b64 the read-only
+            # base-state read dominates but the bf16 weight stream is
+            # still ~0.7 GB/step; both knobs compose (orthogonal paths —
+            # QDense tree swap vs lazy state buffers). Lossiest mode.
+            c_tok_s, _ = _bench_decode(model, params, cfg, batch, steps,
+                                       text_len, lazy_window=lazy,
+                                       state_quant="int8",
+                                       weight_quant="int8")
+            extra.append({
+                "metric": f"aggregate_realtime_factor_b{batch}_int8state_w8",
+                "value": round(batch * c_tok_s / CODEC_HZ, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(batch * c_tok_s / CODEC_HZ / 10.0, 3),
+            })
 
     if do_b1:
         # b1 reports two figures: single_call (one dispatch + one scalar

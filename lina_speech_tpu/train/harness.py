@@ -195,8 +195,17 @@ def make_train_step(model: LinaModel, donate: bool = True,
             if unroll_accum:
                 carry = (zero_g, zero_m)
                 for i in range(grad_accum_steps):
-                    carry, _ = body(
-                        carry, jax.tree_util.tree_map(lambda x: x[i], micro))
+                    mb = jax.tree_util.tree_map(lambda x: x[i], micro)
+                    # tie this micro's inputs to the carry: without the
+                    # barrier XLA is free to schedule all micro fwd/bwd
+                    # passes before the accumulator adds (they don't
+                    # consume the carry), keeping grad_accum_steps grad
+                    # trees + activations live at once — measured HBM OOM
+                    # at the flagship 4xB8 config. Barriered, liveness
+                    # matches the scan (one micro + one f32 accumulator).
+                    if i:
+                        mb, carry = jax.lax.optimization_barrier((mb, carry))
+                    carry, _ = body(carry, mb)
                 grads, metrics = carry
             else:
                 (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), micro)

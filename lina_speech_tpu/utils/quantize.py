@@ -51,15 +51,20 @@ def quantize_params(params, min_size: int = 1 << 16) -> Any:
     return walk(params)
 
 
-def quantize_dense_params(params, min_size: int = 1 << 16) -> Any:
+def quantize_dense_params(params, min_size: int = 1 << 16,
+                          exclude=None) -> Any:
     """Quantize only 2-D Dense ``kernel`` leaves (>= ``min_size`` elements)
     *in place in the tree*: :class:`lina_speech_tpu.ops.qlinear.QDense`
     recognises the {int8_q, int8_s} pair and streams int8 natively through
     the Pallas GEMV kernel — no tree rebuild, no traced dequant. Embedding
     / per-quantizer-head leaves (ndim >= 3, ~2% of weight bytes at the
-    flagship config) stay full precision."""
+    flagship config) stay full precision.
 
-    def walk(node):
+    ``exclude``: optional ``fn("/"-joined tree path) -> bool`` — matching
+    leaves stay full precision (quality/bandwidth knob; see
+    scripts/quality_w8_sensitivity.py for the per-group measurements)."""
+
+    def walk(node, path):
         if isinstance(node, Mapping):
             return {
                 k: (_quantize_leaf(v)
@@ -74,13 +79,15 @@ def quantize_dense_params(params, min_size: int = 1 << 16) -> Any:
                          or (k == "logits_weight" and hasattr(v, "ndim")
                              and v.ndim == 3))
                         and jnp.issubdtype(v.dtype, jnp.floating)
-                        and v.size >= min_size)
-                    else walk(v))
+                        and v.size >= min_size
+                        and not (exclude is not None
+                                 and exclude(f"{path}/{k}")))
+                    else walk(v, f"{path}/{k}"))
                 for k, v in node.items()
             }
         return node
 
-    return walk(params)
+    return walk(params, "")
 
 
 def dequantize_params(tree, dtype) -> Any:

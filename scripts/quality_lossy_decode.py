@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def forced_decode_logits(model, params, x, tokens, lazy_window, state_quant,
-                         weight_quant=None, quant_min_size=1 << 16):
+                         weight_quant=None, quant_min_size=1 << 16,
+                         quant_exclude=None):
     """Teacher-forced decode along a FIXED (q, b, T) token stream through
     the exact lazy decode path generate_batch uses; returns (T, b, q, l)
     logits. The input at step t is the embedding of tokens[:, :, t-1]
@@ -64,7 +65,8 @@ def forced_decode_logits(model, params, x, tokens, lazy_window, state_quant,
             from lina_speech_tpu.utils.quantize import quantize_dense_params
 
             loop_params = quantize_dense_params(params,
-                                                min_size=quant_min_size)
+                                                min_size=quant_min_size,
+                                                exclude=quant_exclude)
         else:
             loop_params = params
         embed = lambda t: model.apply(params, t,

@@ -561,6 +561,33 @@ def test_generate_int8_state_tracks_fp():
     assert agreement > 0.7, f"greedy agreement {agreement:.2f}"
 
 
+def test_generate_int8_state_plus_int8_weights_compose():
+    """state_quant='int8' + weight_quant='int8' together (bench's
+    aggregate_realtime_factor_*_int8state_w8 arm): the two knobs touch
+    orthogonal paths (lazy state buffers vs the QDense tree swap) and
+    must compose without error, tracking the exact run."""
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+    from lina_speech_tpu.generate import generate_batch
+
+    cfg = lina_gla_tiny()
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 3,
+                           cfg.n_txt_vocab)
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        jax.random.PRNGKey(2), x, y, jnp.ones((2, 10, 10), bool),
+        jnp.ones((2, 8, 10), bool), jnp.ones((2, 8), bool),
+    )
+    kw = dict(max_seqlen=24, k=1, force_max_seqlen=True, lazy_window=4)
+    ref = generate_batch(model, params, x, jax.random.PRNGKey(3), **kw)
+    out = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                         state_quant="int8", weight_quant="int8",
+                         quant_min_size=1 << 8, **kw)
+    agreement = (np.asarray(out.tokens) == np.asarray(ref.tokens)).mean()
+    assert agreement > 0.6, f"greedy agreement {agreement:.2f}"
+
+
 def test_state_quant_requires_lazy():
     from lina_speech_tpu.config import build_model, lina_gla_tiny
     from lina_speech_tpu.generate import generate_batch
