@@ -224,11 +224,13 @@ def main():
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(batch * q_tok_s / CODEC_HZ / 10.0, 3),
         })
-        if os.environ.get("BENCH_COMBO_QUANT", "1") == "1":
-            # int8 state + int8 weights together: at b64 the read-only
-            # base-state read dominates but the bf16 weight stream is
-            # still ~0.7 GB/step; both knobs compose (orthogonal paths —
-            # QDense tree swap vs lazy state buffers). Lossiest mode.
+        if os.environ.get("BENCH_COMBO_QUANT", "0") == "1":
+            # int8 state + int8 weights together (opt-in measurement):
+            # MEASURED LOSS at b64 — 175.8x vs 217.3x int8state-only
+            # (v5e, 256 steps): at batch 64 the weight stream is already
+            # amortized across streams and the int8 dequant work in the
+            # lazy step costs more than the ~0.7 GB/step it saves.
+            # Kept as an env-gated arm so the result stays reproducible.
             c_tok_s, _ = _bench_decode(model, params, cfg, batch, steps,
                                        text_len, lazy_window=lazy,
                                        state_quant="int8",
@@ -288,10 +290,12 @@ def main():
         # BENCH_HOIST=1: cast f32 params to bf16 ONCE before the micro-batch
         # scan instead of per micro-step (train/harness.py hoist_param_cast)
         th = os.environ.get("BENCH_HOIST", "0") == "1"
-        # BENCH_UNROLL=1: Python-unrolled micro-batch accumulation — no
-        # while-carried f32 grad tree, so XLA skips the per-micro dW layout
-        # normalization copies (train/harness.py unroll_accum)
-        tu = os.environ.get("BENCH_UNROLL", "0") == "1"
+        # BENCH_UNROLL (default 1): Python-unrolled micro-batch
+        # accumulation — the accumulator adds fuse into the dW GEMMs
+        # (convert_add_fusion 196->100 ms/step in the accum-4 xplane) and
+        # the per-micro while-carry layout normalization disappears.
+        # Measured: 354.2 -> 350.2 ms/step (+1.1%, v5e flagship 4xB8)
+        tu = os.environ.get("BENCH_UNROLL", "1") == "1"
         train_tok_s, step_s = _bench_train(cfg, tb, tl, text_len, ts,
                                            accum=ta, hoist_cast=th,
                                            unroll_accum=tu)

@@ -84,7 +84,7 @@ def _tile_state(model: LinaModel, state, b: int):
         "model", "max_seqlen", "k", "first_greedy_quant", "temp",
         "force_max_seqlen", "return_att", "reference_compat_sampling",
         "approx_topk", "lazy_window", "weight_quant", "quant_min_size",
-        "state_quant", "cfg_coef",
+        "quant_exclude", "state_quant", "cfg_coef",
     ),
 )
 def generate_batch(
@@ -105,6 +105,7 @@ def generate_batch(
     lazy_window: int = 0,
     weight_quant: Optional[str] = None,
     quant_min_size: int = 1 << 16,
+    quant_exclude=None,
     state_quant: Optional[str] = None,
     cfg_coef: Optional[float] = None,
 ) -> GenerateResult:
@@ -129,6 +130,12 @@ def generate_batch(
             roofline ~2x. Opt-in quality knob.
         quant_min_size: minimum element count for a kernel to be
             quantized (tests lower it so tiny configs qualify).
+        quant_exclude: optional hashable ``fn(tree_path) -> bool`` —
+            matching kernels stay full precision. Measured knob
+            (scripts/quality_w8_sensitivity.py): the SwiGLU FFN and the
+            logits head dominate the W8 flip rate while q|k|v|g|o are
+            near-lossless; excluding ``logits_weight`` (~1% of weight
+            bytes) buys a disproportionate quality win.
         state_quant: "int8" stores the lazy-decode base states int8 with
             per-row scales (requires ``lazy_window > 0``; GLA backbones).
             b64 decode is HBM-bound on the read-only state read (measured
@@ -202,7 +209,8 @@ def generate_batch(
         # Dense kernels become {int8_q, int8_s} pairs *in the tree*; QDense
         # (ops/qlinear.py) streams them through the native int8 Pallas GEMV.
         # No traced dequant, no bf16 weight materialization.
-        params_q = quantize_dense_params(params, min_size=quant_min_size)
+        params_q = quantize_dense_params(params, min_size=quant_min_size,
+                                         exclude=quant_exclude)
         loop_params = lambda: params_q
     elif weight_quant is not None:
         raise ValueError(f"unknown weight_quant {weight_quant!r}")

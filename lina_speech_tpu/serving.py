@@ -123,6 +123,7 @@ class DecodeServer:
         seed: int = 0,
         weight_quant: Optional[str] = None,
         quant_min_size: int = 1 << 16,
+        quant_exclude=None,
         approx_topk: bool = False,
         int8_prefill_full_precision: bool = True,
         mesh=None,
@@ -169,7 +170,8 @@ class DecodeServer:
             # only); pass int8_prefill_full_precision=False to keep ONLY
             # the quantized tree resident (~2x less HBM, prefill numerics
             # then differ slightly from generate_batch's).
-            self._dev_params = quantize_dense_params(params, min_size=quant_min_size)
+            self._dev_params = quantize_dense_params(
+                params, min_size=quant_min_size, exclude=quant_exclude)
             self._pre_params = params if int8_prefill_full_precision \
                 else self._dev_params
             del params

@@ -269,6 +269,29 @@ def main(argv=None):
         "logit_scale_mean_abs": float(sc),
         "argmax_flip_rate": float(fl),
     }
+
+    # W8 with the measured-sensitive groups excluded (quant_exclude knob;
+    # attribution: scripts/quality_w8_sensitivity.py — SwiGLU FFN >> head
+    # ~ crossatt-v >> q|k|v|g|o). "no_head" costs ~1% of weight bytes.
+    def _skip_head(p):
+        return p.endswith("logits_weight")
+
+    def _skip_head_ffn(p):
+        return (p.endswith("logits_weight")
+                or p.split("/")[-2] in ("p_in", "p_out"))
+
+    for nm, excl in (("no_head", _skip_head), ("no_head_ffn", _skip_head_ffn)):
+        lg_e = forced_decode_logits(
+            model, params, x, jnp.asarray(tok_fp), args.lazy, None,
+            weight_quant="int8",
+            quant_min_size=1 << 8 if args.tiny else 1 << 16,
+            quant_exclude=excl)
+        dm, dx, sc, fl = forced_stats(lg_fp, lg_e)
+        report[f"weight_int8_forced_{nm}"] = {
+            "logit_delta_mean": float(dm),
+            "logit_delta_max": float(dx),
+            "argmax_flip_rate": float(fl),
+        }
     report["wall_s"] = round(time.perf_counter() - t0, 1)
 
     print(json.dumps(report))

@@ -39,22 +39,24 @@ def fake_quant_groupwise(params, group: int, min_size: int):
     per output channel. Numerically identical to a kernel that applies
     (d/group, n) scales in its epilogue."""
 
+    def qd1(wf, axis):
+        """Quantize-dequantize along contraction ``axis`` in row groups of
+        ``group`` (remainder group allowed — dims need not divide)."""
+        out = np.empty_like(wf)
+        d = wf.shape[axis]
+        for lo in range(0, d, group):
+            sl = [slice(None)] * wf.ndim
+            sl[axis] = slice(lo, min(lo + group, d))
+            blk = wf[tuple(sl)]
+            s = np.maximum(np.abs(blk).max(axis=axis, keepdims=True) / 127.0,
+                           1e-12)
+            out[tuple(sl)] = np.clip(np.round(blk / s), -127, 127) * s
+        return out
+
     def qd(w):
         wf = np.asarray(w, np.float32)
-        if w.ndim == 2:
-            d, n = wf.shape
-            g = max(1, d // max(1, group))
-            ww = wf.reshape(g, d // g, n)
-            s = np.maximum(np.abs(ww).max(axis=1, keepdims=True) / 127.0, 1e-12)
-            return jnp.asarray((np.clip(np.round(ww / s), -127, 127) * s)
-                               .reshape(d, n).astype(np.float32))
-        # logits_weight (q, l, d): group along the last (contraction) axis
-        q, l, d = wf.shape
-        g = max(1, d // max(1, group))
-        ww = wf.reshape(q, l, g, d // g)
-        s = np.maximum(np.abs(ww).max(axis=3, keepdims=True) / 127.0, 1e-12)
-        return jnp.asarray((np.clip(np.round(ww / s), -127, 127) * s)
-                           .reshape(q, l, d).astype(np.float32))
+        # 2-D kernels contract over axis 0; logits_weight (q, l, d) over d
+        return jnp.asarray(qd1(wf, 0 if w.ndim == 2 else w.ndim - 1))
 
     def walk(node):
         if isinstance(node, dict):
@@ -116,9 +118,12 @@ def main():
                 walk(v, f"{p}/{k}")
 
     walk(quantize_dense_params(params, min_size=args.min_size))
-    groups = sorted({h.split("/")[-2] if not h.endswith("logits_weight")
-                     else "logits_weight" for h in hits
-                     if "txt_encoder" not in h})
+
+    def leaf_group(path):
+        seg = path.split("/")
+        return seg[-1] if seg[-1] == "logits_weight" else seg[-2]
+
+    groups = sorted({leaf_group(h) for h in hits if "txt_encoder" not in h})
     print(json.dumps({"quantized_leaves": len(hits), "groups": groups}))
 
     lg_fp = forced_decode_logits(model, params, x, tokens, L, None)
@@ -140,9 +145,16 @@ def main():
 
     arm("w8_full", weight_quant="int8", quant_min_size=args.min_size)
     for g in groups:
+        # "only-X": quantize just this module group (exact path-segment
+        # match — the leaf's parent module name, or logits_weight itself)
         arm(f"w8_only_{g}", weight_quant="int8",
             quant_min_size=args.min_size,
-            quant_exclude=lambda p, g=g: g not in p)
+            quant_exclude=lambda p, g=g: leaf_group(p) != g)
+    arm("w8_no_head", weight_quant="int8", quant_min_size=args.min_size,
+        quant_exclude=lambda p: leaf_group(p) == "logits_weight")
+    arm("w8_no_ffn_head", weight_quant="int8", quant_min_size=args.min_size,
+        quant_exclude=lambda p: leaf_group(p) in
+        ("logits_weight", "p_in", "p_out"))
     for gs in (128, 64):
         lgq = np.asarray(forced_decode_logits(
             model, fake_quant_groupwise(params, gs, args.min_size), x,
