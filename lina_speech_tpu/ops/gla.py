@@ -101,9 +101,18 @@ def gla_decode_step(
     scale = _default_scale(q, scale)
     out_dtype = state.dtype  # bf16 state storage supported; math in fp32
     qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, gk))
-    state = jnp.exp(gf)[..., None] * state.astype(jnp.float32) + kf[..., None] * vf[..., None, :]
-    o = jnp.einsum("bhk,bhkv->bhv", qf * scale, state)
-    return o.astype(q.dtype), state.astype(out_dtype)
+    eg = jnp.exp(gf)
+    new_state = (eg[..., None] * state.astype(jnp.float32)
+                 + kf[..., None] * vf[..., None, :])
+    # readout from the PRE-update state: o = q·S' = (q·eg)·S + (q·k) v
+    # exactly (distribute over the update) — the state, the dominant HBM
+    # object at decode, is read once here and once by the update instead
+    # of re-reading the materialized S' (b1 profile: the while body's
+    # fusion stream is state-traffic-bound).
+    o = (jnp.einsum("bhk,bhkv->bhv", qf * scale * eg,
+                    state.astype(jnp.float32))
+         + jnp.sum(qf * scale * kf, axis=-1, keepdims=True) * vf)
+    return o.astype(q.dtype), new_state.astype(out_dtype)
 
 
 def gla_decode_lazy_step(
