@@ -200,8 +200,17 @@ class RWKV6Attention(nn.Module):
         dk = self.key_dim // self.num_heads
         dv = self.value_dim // self.num_heads
         shp = lambda z, dh: z.reshape(b, self.num_heads, dh)
+        # tiny batches route to the XLA step like GLA (gla_layer.py:step):
+        # the Pallas decode kernel's minimum (batch*head) block is 8 rows,
+        # so b*h < 8 pays an 8-row pad per state operand + per-call
+        # custom-call latency x n_layer every token (measured on the GLA
+        # twin: XLA step 2x faster at b1h4).
+        from lina_speech_tpu.ops.gla_pallas import _BH_BLK
+
+        tiny_batch = b * self.num_heads < _BH_BLK
         use_fused = self.kernel_mode == "chunk_pallas" or (
-            self.kernel_mode == "auto" and jax.default_backend() == "tpu"
+            self.kernel_mode == "auto" and not tiny_batch
+            and jax.default_backend() == "tpu"
         )
         if use_fused:
             from lina_speech_tpu.ops.gla_pallas import rwkv6_decode_fused
