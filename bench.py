@@ -224,6 +224,21 @@ def main():
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(batch * q_tok_s / CODEC_HZ / 10.0, 3),
         })
+        if os.environ.get("BENCH_STATE_QUANT4", "0") == "1":
+            # int4 nibble-packed state (state_quant="int4", opt-in arm):
+            # quarter the bf16 state bytes IF XLA reads the packed operand
+            # once across the two nibble-plane dots
+            # (scripts/bench_int4_state.py measures the kernel in
+            # isolation; quality bounds in BASELINE.md).
+            q4_tok_s, _ = _bench_decode(model, params, cfg, batch, steps,
+                                        text_len, lazy_window=lazy,
+                                        state_quant="int4")
+            extra.append({
+                "metric": f"aggregate_realtime_factor_b{batch}_int4state",
+                "value": round(batch * q4_tok_s / CODEC_HZ, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(batch * q4_tok_s / CODEC_HZ / 10.0, 3),
+            })
         if os.environ.get("BENCH_COMBO_QUANT", "0") == "1":
             # int8 state + int8 weights together (opt-in measurement):
             # MEASURED LOSS at b64 — 175.8x vs 217.3x int8state-only

@@ -141,7 +141,10 @@ def generate_batch(
             b64 decode is HBM-bound on the read-only state read (measured
             647 GB/s achievable on v5e), so int8 halves the dominant
             traffic. Opt-in quality knob: states requantize at every
-            fold, the scale rides the readout query for free.
+            fold, the scale rides the readout query for free. "int4"
+            nibble-packs the state (quarter the bf16 bytes) at 16x the
+            int8 quantization error — measured speed AND quality bounds
+            in BASELINE.md before reaching for it.
         cfg_coef: opt-in classifier-free guidance (requires a model
             trained with ``mask_text_p > 0``): the batch is doubled with
             the all-mask text and every step samples from

@@ -77,6 +77,13 @@ def gla_add_lazy_buffers(state: GLAState, window: int,
 
         s_q, sc = quantize_state_rows(state.s)
         state = state.replace(s=s_q, s_scale=sc)
+    elif state_quant == "int4":
+        # nibble-packed along dv halves: s.shape[-1] == dv//2 is how the
+        # step/fold dispatch recognizes int4 vs int8 (vbuf carries dv)
+        from lina_speech_tpu.ops.gla import quantize_state_rows_int4
+
+        s_q, sc = quantize_state_rows_int4(state.s)
+        state = state.replace(s=s_q, s_scale=sc)
     elif state_quant is not None:
         raise ValueError(f"unknown state_quant {state_quant!r}")
     return state
@@ -92,6 +99,14 @@ def gla_fold_lazy_state(state: GLAState) -> GLAState:
     # slots > p and every slot is rewritten before the next fold reads it
     # (generate.py folds only after full windows).
     if state.s_scale is not None:
+        if state.s.shape[-1] != state.vbuf.shape[-1]:  # int4 nibble-packed
+            from lina_speech_tpu.ops.gla import gla_decode_lazy_fold_q4
+
+            s, sc = gla_decode_lazy_fold_q4(
+                state.s, state.s_scale, state.kbuf, state.vbuf,
+                state.cbuf, state.cc)
+            return state.replace(s=s, s_scale=sc,
+                                 cc=jnp.zeros_like(state.cc))
         from lina_speech_tpu.ops.gla import gla_decode_lazy_fold_q
 
         s, sc = gla_decode_lazy_fold_q(state.s, state.s_scale, state.kbuf,
@@ -704,11 +719,18 @@ class GatedLinearAttention(nn.Module):
                           hsplit(v, self.head_v_dim),
                           hsplit(gk, self.head_qk_dim))
         if state.s_scale is not None:
-            from lina_speech_tpu.ops.gla import gla_decode_lazy_step_q
+            if state.s.shape[-1] != state.vbuf.shape[-1]:  # int4 packed
+                from lina_speech_tpu.ops.gla import gla_decode_lazy_step_q4
 
-            o, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step_q(
-                qh, kh, vh, gh, state.s, state.s_scale,
-                state.kbuf, state.vbuf, state.cbuf, state.cc, p)
+                o, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step_q4(
+                    qh, kh, vh, gh, state.s, state.s_scale,
+                    state.kbuf, state.vbuf, state.cbuf, state.cc, p)
+            else:
+                from lina_speech_tpu.ops.gla import gla_decode_lazy_step_q
+
+                o, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step_q(
+                    qh, kh, vh, gh, state.s, state.s_scale,
+                    state.kbuf, state.vbuf, state.cbuf, state.cc, p)
         else:
             o, kbuf, vbuf, cbuf, cc = gla_decode_lazy_step(
                 qh, kh, vh, gh,

@@ -256,6 +256,84 @@ def gla_decode_lazy_fold_q(
     return quantize_state_rows(s)
 
 
+def quantize_state_rows_int4(s: Array) -> Tuple[Array, Array]:
+    """Symmetric int4 per-(b, h, dk)-row quantization, nibble-packed.
+
+    Packs along dv HALVES — byte j of the packed (b, h, dk, dv//2) int8
+    array holds (S[..., j] in the low nibble, S[..., dv//2 + j] in the
+    high nibble) — so :func:`unpack_state_int4` is contiguous (no
+    interleave) and the readout is ``concat(w·lo, w·hi)`` over dv halves.
+    Values in [-7, 7] (scale = rowmax/7). Opt-in quality knob
+    (generate_batch(state_quant="int4")): quarter the int8 arm's state
+    bytes at 16x its quantization error — bench/quality-harness measured
+    before use (BASELINE.md)."""
+    sf = s.astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(sf), axis=-1), 1e-30) / 7.0
+    q = jnp.clip(jnp.round(sf / sc[..., None]), -7, 7).astype(jnp.int8)
+    dv = q.shape[-1]
+    lo, hi = q[..., : dv // 2], q[..., dv // 2:]
+    packed = jnp.bitwise_or(
+        jnp.left_shift(hi, 4), jnp.bitwise_and(lo, jnp.int8(0x0F)))
+    return packed, sc
+
+
+def unpack_state_int4(packed: Array) -> Tuple[Array, Array]:
+    """(lo, hi) sign-extended int8 planes of a nibble-packed state."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return lo, hi
+
+
+def dequantize_state_int4(packed: Array, sc: Array) -> Array:
+    lo, hi = unpack_state_int4(packed)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32) * sc[..., None]
+
+
+def gla_decode_lazy_step_q4(
+    q: Array, k: Array, v: Array, gk: Array,
+    s_packed: Array, s_scale: Array,
+    kbuf: Array, vbuf: Array, cbuf: Array, cc: Array, p: Array,
+    scale: Optional[float] = None,
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """:func:`gla_decode_lazy_step` over an int4 nibble-packed base state:
+    two dots on the lo/hi nibble planes of one packed operand, the row
+    scale riding the query like the int8 path."""
+    scale = _default_scale(q, scale)
+    L = kbuf.shape[0]
+    qf, gf = q.astype(jnp.float32), gk.astype(jnp.float32)
+    cc = cc + gf
+    kbuf = jax.lax.dynamic_update_index_in_dim(kbuf, k, p, axis=0)
+    vbuf = jax.lax.dynamic_update_index_in_dim(vbuf, v, p, axis=0)
+    cbuf = jax.lax.dynamic_update_index_in_dim(
+        cbuf, cc.astype(cbuf.dtype), p, axis=0)
+
+    w_row = qf * scale * jnp.exp(cc) * s_scale
+    lo, hi = unpack_state_int4(s_packed)
+    o = jnp.concatenate(
+        [jnp.einsum("bhk,bhkv->bhv", w_row, lo.astype(jnp.float32)),
+         jnp.einsum("bhk,bhkv->bhv", w_row, hi.astype(jnp.float32))],
+        axis=-1)
+    live = (jnp.arange(L) <= p).astype(jnp.float32)[:, None, None, None]
+    w = jnp.exp(jnp.minimum(cc[None] - cbuf.astype(jnp.float32), 0.0)) * live
+    a = jnp.einsum("bhk,lbhk->lbh", qf * scale,
+                   kbuf.astype(jnp.float32) * w)
+    o = o + jnp.einsum("lbh,lbhv->bhv", a, vbuf.astype(jnp.float32))
+    return o.astype(q.dtype), kbuf, vbuf, cbuf, cc
+
+
+def gla_decode_lazy_fold_q4(
+    s_packed: Array, s_scale: Array,
+    kbuf: Array, vbuf: Array, cbuf: Array, cc: Array,
+) -> Tuple[Array, Array]:
+    """Fold over an int4-packed base state: unpack -> chunk-scan update ->
+    fresh per-row int4 requantization (buffers stay stale, like int8)."""
+    dec = jnp.exp(jnp.minimum(cc[None] - cbuf.astype(jnp.float32), 0.0))
+    s = jnp.exp(cc)[..., None] * dequantize_state_int4(s_packed, s_scale)
+    s = s + jnp.einsum("lbhk,lbhv->bhkv", kbuf.astype(jnp.float32) * dec,
+                       vbuf.astype(jnp.float32))
+    return quantize_state_rows_int4(s)
+
+
 def gla_chunk(
     q: Array,
     k: Array,

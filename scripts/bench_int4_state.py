@@ -30,59 +30,6 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_state_rows_int4(s):
-    """Symmetric per-(b,h,dk)-row int4 quant, nibble-packed along dv halves.
-
-    Returns (packed int8 (b,h,dk,dv//2), scale (b,h,dk)). Values in
-    [-7, 7]; packed byte = (hi << 4) | (lo & 0xF)."""
-    sf = s.astype(jnp.float32)
-    sc = jnp.maximum(jnp.max(jnp.abs(sf), axis=-1), 1e-30) / 7.0
-    q = jnp.clip(jnp.round(sf / sc[..., None]), -7, 7).astype(jnp.int8)
-    dv = q.shape[-1]
-    lo, hi = q[..., : dv // 2], q[..., dv // 2:]
-    packed = jnp.bitwise_or(
-        jnp.left_shift(hi, 4), jnp.bitwise_and(lo, jnp.int8(0x0F)))
-    return packed, sc
-
-
-def unpack_int4(packed):
-    """(lo, hi) int8 planes from nibble-packed int8 (sign-extended)."""
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
-    hi = jnp.right_shift(packed, 4)
-    return lo, hi
-
-
-def gla_decode_lazy_step_q4(q, k, v, gk, s_packed, s_scale,
-                            kbuf, vbuf, cbuf, cc, p, scale=None):
-    """gla_decode_lazy_step over an int4-packed base state (prototype).
-
-    Readout as TWO dots on the lo/hi nibble planes of one packed operand
-    (o = concat(w.lo, w.hi) over dv halves); whether that costs one or two
-    HBM reads of ``packed`` is what the bench measures."""
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    L = kbuf.shape[0]
-    qf, gf = q.astype(jnp.float32), gk.astype(jnp.float32)
-    cc = cc + gf
-    kbuf = jax.lax.dynamic_update_index_in_dim(kbuf, k, p, axis=0)
-    vbuf = jax.lax.dynamic_update_index_in_dim(vbuf, v, p, axis=0)
-    cbuf = jax.lax.dynamic_update_index_in_dim(
-        cbuf, cc.astype(cbuf.dtype), p, axis=0)
-
-    w_row = qf * scale * jnp.exp(cc) * s_scale
-    lo, hi = unpack_int4(s_packed)
-    o_lo = jnp.einsum("bhk,bhkv->bhv", w_row, lo.astype(jnp.float32))
-    o_hi = jnp.einsum("bhk,bhkv->bhv", w_row, hi.astype(jnp.float32))
-    o = jnp.concatenate([o_lo, o_hi], axis=-1)
-
-    live = (jnp.arange(L) <= p).astype(jnp.float32)[:, None, None, None]
-    wdec = jnp.exp(jnp.minimum(cc[None] - cbuf.astype(jnp.float32), 0.0)) * live
-    a = jnp.einsum("bhk,lbhk->lbh", qf * scale,
-                   kbuf.astype(jnp.float32) * wdec)
-    o = o + jnp.einsum("lbh,lbhv->bhv", a, vbuf.astype(jnp.float32))
-    return o.astype(q.dtype), kbuf, vbuf, cbuf, cc
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--b", type=int, default=64)
@@ -106,7 +53,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from lina_speech_tpu.ops.gla import (
-        gla_decode_lazy_step, gla_decode_lazy_step_q, quantize_state_rows,
+        gla_decode_lazy_step, gla_decode_lazy_step_q, gla_decode_lazy_step_q4,
+        quantize_state_rows, quantize_state_rows_int4,
     )
 
     b, h, dk, dv, L, NL = args.b, args.h, args.dk, args.dv, args.L, args.layers
@@ -171,11 +119,10 @@ def main():
         timed("int4", make_many(gla_decode_lazy_step_q4, st),
               x_q, x_k, x_v, g, st, kbuf, vbuf, cbuf, cc)
 
-    # numerics sanity: q4 readout vs exact on one layer
-    from lina_speech_tpu.ops.gla import dequantize_state_rows
+    # numerics sanity: q4 reconstruction vs exact on one layer
+    from lina_speech_tpu.ops.gla import dequantize_state_int4
     pk, sc = quantize_state_rows_int4(S[0])
-    lo, hi = unpack_int4(pk)
-    s_rec = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32) * sc[..., None]
+    s_rec = dequantize_state_int4(pk, sc)
     err = float(jnp.max(jnp.abs(s_rec - S[0].astype(jnp.float32))))
     rng = float(jnp.max(jnp.abs(S[0].astype(jnp.float32))))
     print(f"int4 recon max-abs-err {err:.5f} on range {rng:.5f} "

@@ -127,6 +127,9 @@ def main(argv=None):
     ap.add_argument("--text-len", type=int, default=32)
     ap.add_argument("--lazy", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--int4", action="store_true",
+                    help="also measure state_quant='int4' (greedy + "
+                         "teacher-forced arms)")
     args = ap.parse_args(argv)
 
     if args.cpu or args.tiny:
@@ -204,6 +207,21 @@ def main(argv=None):
         "logit_scale_mean_abs": float(sc),
         "argmax_flip_rate": float(fl),
     }
+
+    # ---- 1b. state_quant="int4" (opt-in): same two arms as int8
+    if args.int4:
+        tok_q4 = np.asarray(gen(jax.random.PRNGKey(3), k=1,
+                                state_quant="int4").tokens)
+        report["state_int4_greedy"] = agreement_stats(tok_fp, tok_q4)
+        lg_q4 = forced_decode_logits(
+            model, params, x, jnp.asarray(tok_fp), args.lazy, "int4")
+        dm, dx, sc, fl = forced_stats(lg_fp, lg_q4)
+        report["state_int4_forced"] = {
+            "logit_delta_mean": float(dm),
+            "logit_delta_max": float(dx),
+            "logit_scale_mean_abs": float(sc),
+            "argmax_flip_rate": float(fl),
+        }
 
     # ---- 2. approx_topk: step-local distributional bound. Token-level
     # agreement is meaningless for a sampled path (identical keys drive

@@ -535,6 +535,76 @@ def test_lazy_int8_state_kernels_match_oracle():
                                rtol=5e-2, atol=5e-2)
 
 
+def test_int4_state_step_and_fold_parity():
+    """int4 nibble-packed lazy step/fold == the bf16 step/fold run on the
+    exactly-dequantized state (the packing itself is the only error
+    source; the step math must match bit-for-bit up to fp association)."""
+    from lina_speech_tpu.ops.gla import (
+        dequantize_state_int4, gla_decode_lazy_fold, gla_decode_lazy_fold_q4,
+        gla_decode_lazy_step, gla_decode_lazy_step_q4, quantize_state_rows_int4,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    b, h, dk, dv, L = 2, 2, 16, 32, 4
+    s = jax.random.normal(ks[0], (b, h, dk, dv)) * 0.3
+    pk, sc = quantize_state_rows_int4(s)
+    assert pk.shape == (b, h, dk, dv // 2) and pk.dtype == jnp.int8
+    s_rec = dequantize_state_int4(pk, sc)
+    # reconstruction within half a quantum of the per-row scale
+    assert np.all(np.abs(np.asarray(s_rec - s))
+                  <= np.asarray(sc)[..., None] / 2 + 1e-6)
+
+    q = jax.random.normal(ks[1], (b, h, dk))
+    k = jax.random.normal(ks[2], (b, h, dk))
+    v = jax.random.normal(ks[3], (b, h, dv))
+    g = -jnp.abs(jax.random.normal(ks[4], (b, h, dk))) * 0.1
+    kbuf = jax.random.normal(ks[5], (L, b, h, dk))
+    vbuf = jax.random.normal(ks[6], (L, b, h, dv))
+    cbuf = -jnp.abs(jax.random.normal(ks[7], (L, b, h, dk))) * 0.1
+    cc = jnp.zeros((b, h, dk)) - 0.2
+    p = jnp.int32(1)
+    o_q, kb_q, vb_q, cb_q, cc_q = gla_decode_lazy_step_q4(
+        q, k, v, g, pk, sc, kbuf, vbuf, cbuf, cc, p)
+    o_r, kb_r, vb_r, cb_r, cc_r = gla_decode_lazy_step(
+        q, k, v, g, s_rec, kbuf, vbuf, cbuf, cc, p)
+    np.testing.assert_allclose(np.asarray(o_q), np.asarray(o_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cc_q), np.asarray(cc_r))
+
+    s_new_q, sc_new = gla_decode_lazy_fold_q4(pk, sc, kb_q, vb_q, cb_q, cc_q)
+    s_ref = gla_decode_lazy_fold(s_rec, kb_r, vb_r, cb_r, cc_r)
+    pk_ref, sc_ref = quantize_state_rows_int4(s_ref)
+    np.testing.assert_allclose(np.asarray(sc_new), np.asarray(sc_ref),
+                               rtol=1e-5, atol=1e-8)
+    assert np.abs(np.asarray(s_new_q, np.int32)
+                  - np.asarray(pk_ref, np.int32)).max() == 0
+
+
+def test_generate_int4_state_tracks_fp():
+    """Tiny-model lazy decode with state_quant='int4' runs end-to-end and
+    tracks the full-precision lazy decode (looser than int8: 16x the
+    quantization error is the point of the knob)."""
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+    from lina_speech_tpu.generate import generate_batch
+
+    cfg = lina_gla_tiny()
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 3,
+                           cfg.n_txt_vocab)
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        jax.random.PRNGKey(2), x, y, jnp.ones((2, 10, 10), bool),
+        jnp.ones((2, 8, 10), bool), jnp.ones((2, 8), bool),
+    )
+    kw = dict(max_seqlen=24, k=1, force_max_seqlen=True, lazy_window=4)
+    ref = generate_batch(model, params, x, jax.random.PRNGKey(3), **kw)
+    out = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                         state_quant="int4", **kw)
+    agreement = (np.asarray(out.tokens) == np.asarray(ref.tokens)).mean()
+    assert agreement > 0.5, f"greedy agreement {agreement:.2f}"
+
+
 def test_generate_int8_state_tracks_fp():
     """Tiny-model lazy decode with state_quant='int8' stays close to the
     full-precision lazy decode (greedy agreement)."""
