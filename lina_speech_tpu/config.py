@@ -46,6 +46,13 @@ class BackboneConfig:
     # All Pallas kernels carry custom-partitioning rules and shard under
     # dp x tp meshes; no fallback is needed for multi-chip training.
     kernel_mode: str = "auto"
+    # Context parallelism (kind="gla" only): name of the mesh axis the
+    # audio TIME axis is sharded over during training (ops/gla_cp.py).
+    # Requires an ambient mesh (jax.set_mesh) carrying the axis, audio
+    # sequence length divisible by its size, and cp-aware batch sharding
+    # (parallel/sharding.py::shard_batch with the cp mesh). The reference
+    # has no equivalent (DDP only, train_lina.py:91).
+    cp_axis: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,7 +137,7 @@ def build_model(cfg: ModelConfig):
             use_short_conv=b.use_short_conv, expand_k=b.expand_k,
             expand_v=b.expand_v, pos_type=b.pos_type, chunk_size=b.chunk_size,
             remat=b.remat, dtype=dtype, state_dtype=state_dtype,
-            kernel_mode=b.kernel_mode,
+            kernel_mode=b.kernel_mode, cp_axis=b.cp_axis,
         )
     elif b.kind == "gla":
         rnn = CrossAttGLA(

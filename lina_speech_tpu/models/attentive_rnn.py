@@ -90,7 +90,8 @@ class BackboneState:
 
 def _gla_block(d: int, h: int, use_short_conv: bool, expand_k: float, expand_v: float,
                dropout: float, chunk_size: int, dtype: Any,
-               scalar_gate: bool = False, kernel_mode: str = "auto") -> MixingBlock:
+               scalar_gate: bool = False, kernel_mode: str = "auto",
+               cp_axis=None) -> MixingBlock:
     return MixingBlock(
         tmix=GatedLinearAttention(
             hidden_size=d,
@@ -101,6 +102,7 @@ def _gla_block(d: int, h: int, use_short_conv: bool, expand_k: float, expand_v: 
             chunk_size=chunk_size,
             scalar_gate=scalar_gate,
             kernel_mode=kernel_mode,
+            cp_axis=cp_axis,
             dtype=dtype,
         ),
         cmix=SwiGLU(d, dtype=dtype),
@@ -306,12 +308,13 @@ class AttentiveGLA(EncoderCrossDecoder):
     chunk_size: int = 64
     scalar_gate: bool = False
     kernel_mode: str = "auto"
+    cp_axis: Optional[str] = None  # context parallelism (ops/gla_cp.py)
 
     def _block(self, d: int) -> MixingBlock:
         return _gla_block(
             d, self.heads, self.use_short_conv, self.expand_k, self.expand_v,
             self.dropout, self.chunk_size, self.dtype, self.scalar_gate,
-            self.kernel_mode,
+            self.kernel_mode, self.cp_axis,
         )
 
     def _layer_state(self, batch_size: int, d: int, dtype: Any) -> GLAState:

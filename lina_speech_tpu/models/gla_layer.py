@@ -214,6 +214,12 @@ class GatedLinearAttention(nn.Module):
     chunk_size: int = 64
     scalar_gate: bool = False
     kernel_mode: str = "auto"  # auto | chunk | chunk_parallel | chunk_pallas | scan
+    # Context parallelism: when set, the chunked forward shards TIME over
+    # this mesh axis (ops/gla_cp.py — per-shard kernel + one state
+    # all_gather + associative combine). Requires an ambient mesh
+    # (``jax.set_mesh``) carrying the axis and sequence length divisible
+    # by its size. Training/prefill only; decode steps are unaffected.
+    cp_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     @property
@@ -474,11 +480,13 @@ class GatedLinearAttention(nn.Module):
         # In the shared-conv variant the reference rebinds hidden_states to the
         # conv output before gate/g projections (gla.py:150); mirror that.
         h = x
+        use_cp = self.cp_axis is not None and not self.is_initializing()
         fuse_conv = (
             mode == "chunk_pallas"
             and self.use_short_conv
             and not self.share_conv_kernel
             and not use_hist
+            and not use_cp  # CP: convs run outside (SPMD halo exchange)
             and self._chunk_conv_fusable()
         )
         # folded-layout path (opt-in, GLA_FOLD_LAYOUT=1): projections emit
@@ -535,7 +543,14 @@ class GatedLinearAttention(nn.Module):
             gh = self._split_heads(gk, self.head_qk_dim)
 
         s0 = initial_state.s if initial_state is not None else None
-        if fuse_conv:
+        if use_cp:
+            from lina_speech_tpu.ops.gla_cp import gla_chunk_cp
+
+            o, s_final = gla_chunk_cp(
+                qh, kh, vh, gh, initial_state=s0,
+                chunk_size=self.chunk_size, cp_axis=self.cp_axis,
+                kernel="chunk_pallas" if mode == "chunk_pallas" else "chunk")
+        elif fuse_conv:
             from lina_speech_tpu.ops.gla_pallas import gla_chunk_conv_pallas
 
             o, s_final = gla_chunk_conv_pallas(

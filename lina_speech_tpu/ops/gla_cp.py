@@ -1,0 +1,202 @@
+"""Context-parallel (sequence-sharded) chunked GLA.
+
+Shards the TIME axis of the GLA recurrence over a mesh axis (``cp``) so a
+single long sequence trains across chips. The reference has no equivalent
+(its only multi-device strategy is DDP, train_lina.py:91); this is a
+TPU-native extension that exploits what makes *linear* attention cheap to
+context-parallelize: the cross-shard dependency is one O(dk x dv) state
+per (batch, head), not a KV cache — no ring attention, no O(t) gather.
+
+Math. With per-channel log-gates g_t <= 0 and b_t their running cumsum,
+the GLA state after a span is affine in the state before it:
+
+    S_out = diag(exp(sum_span g)) . S_in + B_span
+
+where ``B_span`` is the span's own contribution (the final state of the
+span started from zero). Pairs ``(D, B)`` with D = exp(sum g) compose
+associatively::
+
+    (D1, B1) then (D2, B2)  ==  (D1*D2, D2 (.) B1 + B2)
+
+so each shard runs the ordinary chunk kernel with a ZERO initial state
+(getting local outputs o_loc and its (D_i, B_i)), the pairs are combined
+across the mesh axis with one ``all_gather`` + an associative scan
+(computed redundantly per shard — n is tiny and the combine is
+elementwise), and each shard adds the closed-form correction for the
+state entering it::
+
+    o_t += (q_t * scale * exp(b_t_local)) @ S_in        (one MXU matmul)
+
+Stability: gates are non-positive, so every exp here is <= 1 — the same
+invariant as ops/gla.py. Packed-sequence resets fold into the gates
+(reset => gate = -20) exactly as in the single-device kernels, so the
+cross-shard decay D_i kills the state across a reset the same way the
+local scan does: CP output matches the single-device output to fp
+rounding even for packed batches.
+
+Integration: the wrapper is a *partial-manual* ``jax.shard_map`` — only
+the cp axis is manualized; batch/head stay under jit sharding
+propagation, so this composes with the dp x tp rules (and the Pallas
+kernel's own batch/head ``custom_partitioning``) unchanged. Everything
+around the mixer (projections, short convs, cross-attention, losses) is
+time-local or handled by XLA SPMD (convs get automatic halo exchange),
+so a model becomes context-parallel by shard-mapping only this op.
+
+Cost: one all_gather of (n_cp, b, h, dk, dv) fp32 states + (n_cp, b, h,
+dk) decays per layer per step (fwd; transposed to a reduce-scatter in
+bwd) — at flagship train shapes ~17 MB/shard, riding ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from lina_speech_tpu.ops.gla import gla_chunk, _default_scale
+
+Array = jax.Array
+
+
+def _combine(a, b):
+    """Associative composition of (decay, contribution) state-affine maps."""
+    Da, Ba = a
+    Db, Bb = b
+    return Da * Db, Db[..., None] * Ba + Bb
+
+
+def _cp_body(
+    q: Array,
+    k: Array,
+    v: Array,
+    gk: Array,
+    s0: Array,
+    *,
+    cp_axis: str,
+    scale: float,
+    chunk_size: int,
+    subchunk_size: int,
+    kernel: str,
+):
+    """Collective-aware body; time axis is LOCAL here (inside shard_map)."""
+    b, h, _, dk = q.shape
+    dv = v.shape[-1]
+    f32 = jnp.float32
+    zero = jnp.zeros((b, h, dk, dv), dtype=f32)
+
+    if kernel == "chunk_pallas":
+        from lina_speech_tpu.ops.gla_pallas import gla_chunk_pallas
+
+        o_loc, s_loc = gla_chunk_pallas(
+            q, k, v, gk, initial_state=zero,
+            chunk_size=max(chunk_size, 128), scale=scale)
+    else:
+        o_loc, s_loc = gla_chunk(
+            q, k, v, gk, initial_state=zero, scale=scale,
+            chunk_size=chunk_size, subchunk_size=subchunk_size)
+
+    # this shard's (decay, contribution) pair, fp32
+    d_loc = jnp.exp(jnp.sum(gk.astype(f32), axis=2))  # (b, h, dk)
+    dg = jax.lax.all_gather(d_loc, cp_axis)           # (n, b, h, dk)
+    bg = jax.lax.all_gather(s_loc.astype(f32), cp_axis)  # (n, b, h, dk, dv)
+    d_inc, b_inc = jax.lax.associative_scan(_combine, (dg, bg), axis=0)
+
+    idx = jax.lax.axis_index(cp_axis)
+    jm1 = jnp.maximum(idx - 1, 0)
+    first = idx == 0
+    s_prev = jnp.where(
+        first, 0.0, jax.lax.dynamic_index_in_dim(b_inc, jm1, 0, keepdims=False))
+    d_prev = jnp.where(
+        first, 1.0, jax.lax.dynamic_index_in_dim(d_inc, jm1, 0, keepdims=False))
+    s_in = d_prev[..., None] * s0 + s_prev  # state entering this shard
+
+    # correction: the "inter" term of the chunk kernels, against s_in.
+    # Matmul operands follow the IO dtype (bf16 MXU passes), fp32 accum —
+    # same convention as gla_chunk's inter einsum.
+    bc = jnp.cumsum(gk.astype(f32), axis=2)
+    mm = q.dtype if q.dtype == jnp.bfloat16 else f32
+    qdec = (q.astype(f32) * scale) * jnp.exp(bc)
+    corr = jnp.einsum(
+        "bhtk,bhkv->bhtv", qdec.astype(mm), s_in.astype(mm),
+        preferred_element_type=f32)
+    o = (o_loc.astype(f32) + corr).astype(q.dtype)
+
+    s_final = d_inc[-1][..., None] * s0 + b_inc[-1]  # same value on every shard
+    return o, s_final
+
+
+def gla_chunk_cp(
+    q: Array,
+    k: Array,
+    v: Array,
+    gk: Array,
+    initial_state: Optional[Array] = None,
+    scale: Optional[float] = None,
+    chunk_size: int = 64,
+    subchunk_size: int = 16,
+    *,
+    cp_axis: str = "cp",
+    mesh=None,
+    kernel: str = "chunk",
+) -> Tuple[Array, Array]:
+    """Context-parallel :func:`~lina_speech_tpu.ops.gla.gla_chunk`.
+
+    Args:
+        q, k, v, gk: (b, h, t, d) with t sharded over ``mesh[cp_axis]``
+            (t need not divide evenly into chip-local chunk multiples —
+            each shard pads internally like the single-device kernel).
+        initial_state: optional (b, h, dk, dv) seed state, replicated
+            along cp (initial-state tuning works through this op: the
+            correction term is differentiable w.r.t. s0 on every shard).
+        cp_axis: mesh axis name carrying the time shards.
+        mesh: the Mesh; None uses the ambient mesh (``jax.set_mesh``).
+        kernel: "chunk" (XLA) or "chunk_pallas" (TPU kernel) per shard.
+
+    Returns: (o, final_state) — o time-sharded like q, final_state
+    replicated along cp (identical value on every shard). Differentiable
+    in all inputs (autodiff through shard_map; the all_gather transposes
+    to a reduce-scatter in the backward pass).
+    """
+    scale = _default_scale(q, scale)
+    b, h, t, dk = q.shape
+    dv = v.shape[-1]
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
+    s0 = (jnp.zeros((b, h, dk, dv), jnp.float32) if initial_state is None
+          else initial_state.astype(jnp.float32))
+
+    # t must divide over cp for shard_map; pad with k = 0, gk = 0 (decay 1,
+    # zero contribution — outputs for real positions and the final state
+    # are exact, same trick as gla_chunk's internal chunk padding). The
+    # pad re-shards per call — keep sequence lengths divisible by cp when
+    # feeding data (train/cli.py pads batches once) to stay on the fast path.
+    m = mesh
+    if m is None:
+        m = jax.sharding.get_abstract_mesh()
+    if cp_axis not in getattr(m, "shape", {}):
+        raise ValueError(
+            f"gla_chunk_cp: no mesh axis {cp_axis!r} — pass mesh= or set an "
+            f"ambient mesh (jax.set_mesh) carrying it")
+    n_cp = m.shape[cp_axis]
+    pad = (-t) % n_cp
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        q, k, v, gk = pz(q), pz(k), pz(v), pz(gk)
+
+    body = functools.partial(
+        _cp_body, cp_axis=cp_axis, scale=scale, chunk_size=chunk_size,
+        subchunk_size=subchunk_size, kernel=kernel)
+    tsharded = P(None, None, cp_axis, None)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        axis_names={cp_axis},
+        in_specs=(tsharded, tsharded, tsharded, tsharded, P()),
+        out_specs=(tsharded, P()),
+        check_vma=False,  # s_final is replicated by construction
+    )
+    o, s_final = fn(q, k, v, gk, s0)
+    if pad:
+        o = o[:, :, :t]
+    return o, s_final.astype(state_dtype)

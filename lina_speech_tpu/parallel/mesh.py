@@ -7,7 +7,10 @@ encoder/distrib.py). The TPU-native equivalent is one
 
 - ``dp``: data parallel — batch sharded, gradients psum'd by XLA;
 - ``tp``: tensor parallel — FFN hidden, attention heads and the logits
-  vocabulary sharded; collectives ride ICI.
+  vocabulary sharded; collectives ride ICI;
+- ``cp`` (optional): context parallel — audio TIME sharded for long-
+  sequence GLA training (ops/gla_cp.py: per-shard chunk kernels + one
+  state all_gather; everything else rides XLA SPMD halo exchange).
 
 Gradient averaging, metric reduction (the reference's ``average_metrics``)
 and codebook stats sync (encoder/distrib.py:55-109) all become XLA
@@ -27,6 +30,10 @@ from jax.sharding import Mesh
 class MeshConfig:
     dp: int = -1  # -1: all remaining devices
     tp: int = 1
+    # context parallel: audio TIME sharded over this many devices (GLA
+    # training via ops/gla_cp.py). A "cp" axis is added to the mesh only
+    # when cp > 1 so existing dp x tp specs are unaffected.
+    cp: int = 1
 
 
 def ensure_virtual_cpu_devices(n: int) -> None:
@@ -56,12 +63,16 @@ def make_mesh(config: Optional[MeshConfig] = None,
     config = config or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    tp = config.tp
-    dp = config.dp if config.dp != -1 else n // tp
-    if dp * tp != n:
+    tp, cp = config.tp, config.cp
+    dp = config.dp if config.dp != -1 else n // (tp * cp)
+    if dp * tp * cp != n:
         raise ValueError(
-            f"mesh {dp}x{tp} != {n} devices (for a virtual CPU mesh set "
-            f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp} "
+            f"mesh {dp}x{tp}x{cp} != {n} devices (for a virtual CPU mesh set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp * cp} "
             f"and the cpu platform)")
+    if cp > 1:
+        # cp innermost: the per-layer state all_gather rides ICI neighbors
+        arr = np.asarray(devices).reshape(dp, tp, cp)
+        return Mesh(arr, axis_names=("dp", "tp", "cp"))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))

@@ -85,12 +85,42 @@ def shard_params(params: Any, mesh: Mesh,
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+# Audio-TIME axis position per TTS batch key (data/collate.py layout),
+# used when the mesh carries a context-parallel "cp" axis: those axes are
+# additionally sharded over cp so the GLA CP op (ops/gla_cp.py) sees its
+# time shards. Text-side arrays (text_token, encoder_mask) stay cp-replicated.
+_TTS_TIME_AXIS = {
+    "audio_token": 1,
+    "y_mask": 1,
+    "reset_mask": 1,
+    "crossatt_mask": 1,
+    "crossatt_pos": 1,
+}
+
+
+def _batch_spec(key: str, mesh: Mesh) -> P:
+    if "cp" in mesh.axis_names and key in _TTS_TIME_AXIS:
+        axes = [None] * (_TTS_TIME_AXIS[key] + 1)
+        axes[0] = "dp"
+        axes[_TTS_TIME_AXIS[key]] = "cp"
+        return P(*axes)
+    return P("dp")
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Shard every array's leading (batch) axis over dp."""
+    """Shard every array's leading (batch) axis over dp; on a cp mesh the
+    known audio-time axes are additionally sharded over cp."""
+    if isinstance(batch, dict):
+        return {
+            k: jax.device_put(x, NamedSharding(mesh, _batch_spec(k, mesh)))
+            for k, x in batch.items()
+        }
     spec = NamedSharding(mesh, P("dp"))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), batch)
 
 
 def batch_shardings(batch: Any, mesh: Mesh) -> Any:
+    if isinstance(batch, dict):
+        return {k: NamedSharding(mesh, _batch_spec(k, mesh)) for k in batch}
     spec = NamedSharding(mesh, P("dp"))
     return jax.tree_util.tree_map(lambda _: spec, batch)

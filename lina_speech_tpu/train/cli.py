@@ -74,6 +74,14 @@ def fit(args) -> None:
         import dataclasses
 
         train_cfg = dataclasses.replace(train_cfg, n_training_steps=args.steps)
+    if getattr(args, "cp", 1) > 1:
+        import dataclasses
+
+        if model_cfg.backbone.kind not in ("gla",):
+            raise SystemExit("--cp requires the GLA backbone (ops/gla_cp.py)")
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            backbone=dataclasses.replace(model_cfg.backbone, cp_axis="cp"))
 
     model = build_model(model_cfg)
     from lina_speech_tpu.parallel.multihost import (
@@ -90,9 +98,36 @@ def fit(args) -> None:
             jax.tree_util.tree_map(
                 lambda x: x[process_batch_slice(x.shape[0])], b), mesh)
     else:
-        mesh = make_mesh(MeshConfig(dp=args.dp, tp=args.tp))
+        mesh = make_mesh(MeshConfig(dp=args.dp, tp=args.tp,
+                                    cp=getattr(args, "cp", 1)))
         feed = lambda b: shard_batch(b, mesh)
+    if "cp" in mesh.axis_names:
+        # the CP op's shard_map picks the mesh up from ambient context
+        jax.set_mesh(mesh)
     data = build_data(data_cfg, model_cfg, dp=mesh.shape["dp"])
+    if "cp" in mesh.axis_names:
+        # audio time must divide over cp; pad with masked positions
+        # (y_mask False => excluded from the loss, same as batch padding)
+        def _pad_cp(it, cp):
+            time_keys = ("audio_token", "y_mask", "crossatt_mask",
+                         "reset_mask", "crossatt_pos")
+
+            def pad(b):
+                n = b["audio_token"].shape[1]
+                extra = (-n) % cp
+                if not extra:
+                    return b
+                out = dict(b)
+                for k in time_keys:
+                    if b.get(k) is not None:
+                        w = [(0, 0)] * b[k].ndim
+                        w[1] = (0, extra)
+                        out[k] = np.pad(b[k], w)
+                return out
+
+            return (pad(b) for b in it)
+
+        data = _pad_cp(data, mesh.shape["cp"])
     batch0 = next(data)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed),
@@ -198,6 +233,9 @@ def main(argv=None):
     f.add_argument("--steps", type=int, default=None)
     f.add_argument("--dp", type=int, default=-1)
     f.add_argument("--tp", type=int, default=1)
+    f.add_argument("--cp", type=int, default=1,
+                   help="context parallel: shard audio time over this many "
+                        "devices (GLA backbone; audio len must divide by it)")
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--load-weights", type=str, default=None)
     f.add_argument("--resume", action="store_true",
@@ -218,10 +256,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
-        if args.platform == "cpu" and max(args.dp, 1) * args.tp > 1:
+        n_dev = max(args.dp, 1) * args.tp * getattr(args, "cp", 1)
+        if args.platform == "cpu" and n_dev > 1:
             from lina_speech_tpu.parallel import ensure_virtual_cpu_devices
 
-            ensure_virtual_cpu_devices(max(args.dp, 1) * args.tp)
+            ensure_virtual_cpu_devices(n_dev)
     if args.cmd == "fit":
         fit(args)
 
