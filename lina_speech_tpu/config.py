@@ -155,7 +155,8 @@ def build_model(cfg: ModelConfig):
             dropout_att=b.dropout_att, dropout=b.dropout, d_blind=b.d_blind,
             blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
             use_short_conv=b.use_short_conv, pos_type=b.pos_type,
-            chunk_size=b.chunk_size, remat=b.remat, dtype=dtype,
+            chunk_size=b.chunk_size, remat=b.remat,
+            kernel_mode=b.kernel_mode, cp_axis=b.cp_axis, dtype=dtype,
         )
     elif b.kind == "rwkv6":
         from lina_speech_tpu.models.rwkv6 import AttentiveRWKV6
@@ -164,7 +165,8 @@ def build_model(cfg: ModelConfig):
             d_model=b.d_model, n_layer=b.n_layer, heads=b.heads,
             dropout_att=b.dropout_att, dropout=b.dropout, d_blind=b.d_blind,
             blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
-            pos_type=b.pos_type, dtype=dtype,
+            pos_type=b.pos_type, kernel_mode=b.kernel_mode,
+            cp_axis=b.cp_axis, dtype=dtype,
         )
     elif b.kind == "mamba" and b.cross_att_layers:
         from lina_speech_tpu.models.mamba import CrossAttMamba

@@ -55,6 +55,9 @@ class RWKV6Attention(nn.Module):
     # Pallas path (interpret off-TPU); chunk forces XLA (explicit escape
     # when trace-time default backend != intended platform).
     kernel_mode: str = "auto"
+    # context parallelism: mesh axis name carrying time shards
+    # (ops/gla_cp.py::rwkv6_chunk_cp); None = single-device recurrence
+    cp_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     @property
@@ -174,7 +177,15 @@ class RWKV6Attention(nn.Module):
             # (fwd + handwritten bwd, custom-partitioning over dp x tp),
             # the XLA chunk elsewhere
             mode = "chunk_pallas" if jax.default_backend() == "tpu" else "chunk"
-        if mode == "chunk_pallas":
+        use_cp = self.cp_axis is not None and not self.is_initializing()
+        if use_cp:
+            from lina_speech_tpu.ops.gla_cp import rwkv6_chunk_cp
+
+            o, s_final = rwkv6_chunk_cp(
+                rh, kh, vh, wh, self.time_faaaa, initial_state=s0,
+                cp_axis=self.cp_axis,
+                kernel="chunk_pallas" if mode == "chunk_pallas" else "chunk")
+        elif mode == "chunk_pallas":
             from lina_speech_tpu.ops.rwkv6_pallas import rwkv6_chunk_pallas
 
             o, s_final = rwkv6_chunk_pallas(rh, kh, vh, wh, self.time_faaaa,
@@ -231,9 +242,14 @@ class AttentiveRWKV6(EncoderCrossDecoder):
     """Same encoder -> cross-attention -> decoder shape as AttentiveGLA
     (reference model/rwkv6.py:16-73), with RWKV6 token mixers."""
 
+    kernel_mode: str = "auto"
+    cp_axis: Optional[str] = None  # context parallelism (ops/gla_cp.py)
+
     def _block(self, d: int) -> MixingBlock:
         return MixingBlock(
-            tmix=RWKV6Attention(hidden_size=d, num_heads=self.heads, dtype=self.dtype),
+            tmix=RWKV6Attention(hidden_size=d, num_heads=self.heads,
+                                kernel_mode=self.kernel_mode,
+                                cp_axis=self.cp_axis, dtype=self.dtype),
             cmix=SwiGLU(d, dtype=self.dtype),
             dropout=self.dropout,
         )

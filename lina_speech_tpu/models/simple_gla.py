@@ -31,6 +31,8 @@ def AttentiveSimpleGLA(
     pos_type: str = "sinusoidal",
     chunk_size: int = 64,
     remat: bool = False,
+    kernel_mode: str = "auto",
+    cp_axis: Optional[str] = None,
     dtype: Any = jnp.float32,
 ) -> AttentiveGLA:
     return AttentiveGLA(
@@ -38,5 +40,6 @@ def AttentiveSimpleGLA(
         dropout=dropout, d_blind=d_blind, blind=blind, cross_att_pp=cross_att_pp,
         rotary=rotary, use_short_conv=use_short_conv, expand_k=expand_k,
         expand_v=expand_v, pos_type=pos_type, chunk_size=chunk_size,
-        remat=remat, scalar_gate=True, dtype=dtype,
+        remat=remat, scalar_gate=True, kernel_mode=kernel_mode,
+        cp_axis=cp_axis, dtype=dtype,
     )

@@ -67,6 +67,31 @@ def _combine(a, b):
     return Da * Db, Db[..., None] * Ba + Bb
 
 
+def _cp_exchange(d_loc: Array, s_loc: Array, s0: Array, cp_axis: str):
+    """Cross-shard (decay, contribution) recombination.
+
+    Given this shard's local decay ``d_loc`` (b, h, dk) and zero-state
+    contribution ``s_loc`` (b, h, dk, dv) — both fp32 — returns
+    ``(s_in, s_final)``: the state entering this shard and the global
+    final state (identical value on every shard). One all_gather along
+    ``cp_axis`` + a tiny redundant associative scan per shard.
+    """
+    dg = jax.lax.all_gather(d_loc, cp_axis)  # (n, b, h, dk)
+    bg = jax.lax.all_gather(s_loc, cp_axis)  # (n, b, h, dk, dv)
+    d_inc, b_inc = jax.lax.associative_scan(_combine, (dg, bg), axis=0)
+
+    idx = jax.lax.axis_index(cp_axis)
+    jm1 = jnp.maximum(idx - 1, 0)
+    first = idx == 0
+    s_prev = jnp.where(
+        first, 0.0, jax.lax.dynamic_index_in_dim(b_inc, jm1, 0, keepdims=False))
+    d_prev = jnp.where(
+        first, 1.0, jax.lax.dynamic_index_in_dim(d_inc, jm1, 0, keepdims=False))
+    s_in = d_prev[..., None] * s0 + s_prev  # state entering this shard
+    s_final = d_inc[-1][..., None] * s0 + b_inc[-1]
+    return s_in, s_final
+
+
 def _cp_body(
     q: Array,
     k: Array,
@@ -99,22 +124,12 @@ def _cp_body(
 
     # this shard's (decay, contribution) pair, fp32
     d_loc = jnp.exp(jnp.sum(gk.astype(f32), axis=2))  # (b, h, dk)
-    dg = jax.lax.all_gather(d_loc, cp_axis)           # (n, b, h, dk)
-    bg = jax.lax.all_gather(s_loc.astype(f32), cp_axis)  # (n, b, h, dk, dv)
-    d_inc, b_inc = jax.lax.associative_scan(_combine, (dg, bg), axis=0)
-
-    idx = jax.lax.axis_index(cp_axis)
-    jm1 = jnp.maximum(idx - 1, 0)
-    first = idx == 0
-    s_prev = jnp.where(
-        first, 0.0, jax.lax.dynamic_index_in_dim(b_inc, jm1, 0, keepdims=False))
-    d_prev = jnp.where(
-        first, 1.0, jax.lax.dynamic_index_in_dim(d_inc, jm1, 0, keepdims=False))
-    s_in = d_prev[..., None] * s0 + s_prev  # state entering this shard
+    s_in, s_final = _cp_exchange(d_loc, s_loc.astype(f32), s0, cp_axis)
 
     # correction: the "inter" term of the chunk kernels, against s_in.
     # Matmul operands follow the IO dtype (bf16 MXU passes), fp32 accum —
-    # same convention as gla_chunk's inter einsum.
+    # same convention as gla_chunk's inter einsum. GLA readout sees the
+    # POST-update state, so the decay is the inclusive cumsum.
     bc = jnp.cumsum(gk.astype(f32), axis=2)
     mm = q.dtype if q.dtype == jnp.bfloat16 else f32
     qdec = (q.astype(f32) * scale) * jnp.exp(bc)
@@ -122,8 +137,6 @@ def _cp_body(
         "bhtk,bhkv->bhtv", qdec.astype(mm), s_in.astype(mm),
         preferred_element_type=f32)
     o = (o_loc.astype(f32) + corr).astype(q.dtype)
-
-    s_final = d_inc[-1][..., None] * s0 + b_inc[-1]  # same value on every shard
     return o, s_final
 
 
@@ -197,6 +210,122 @@ def gla_chunk_cp(
         check_vma=False,  # s_final is replicated by construction
     )
     o, s_final = fn(q, k, v, gk, s0)
+    if pad:
+        o = o[:, :, :t]
+    return o, s_final.astype(state_dtype)
+
+
+def _rwkv6_cp_body(
+    r: Array,
+    k: Array,
+    v: Array,
+    w: Array,
+    u: Array,
+    s0: Array,
+    *,
+    cp_axis: str,
+    chunk_size: int,
+    subchunk_size: int,
+    kernel: str,
+):
+    """RWKV6 collective-aware body; time axis is LOCAL here (inside shard_map).
+
+    Same state-affine recombination as :func:`_cp_body` — RWKV6's state
+    update ``S_t = diag(exp(w_t)) S_{t-1} + k_t v_t`` (ops/rwkv6.py:5-8) has
+    the identical (decay, contribution) composition. Two readout
+    differences vs GLA: the output sees the PRE-update state (so the
+    correction decay is the EXCLUSIVE cumsum of w), and there is no
+    1/sqrt(d) query scale. The u bonus is time-local (current token only),
+    so it lives entirely in the per-shard local run.
+    """
+    b, h, _, dk = r.shape
+    dv = v.shape[-1]
+    f32 = jnp.float32
+    zero = jnp.zeros((b, h, dk, dv), dtype=f32)
+
+    if kernel == "chunk_pallas":
+        from lina_speech_tpu.ops.rwkv6_pallas import rwkv6_chunk_pallas
+
+        o_loc, s_loc = rwkv6_chunk_pallas(
+            r, k, v, w, u, initial_state=zero,
+            chunk_size=max(chunk_size, 128))
+    else:
+        from lina_speech_tpu.ops.rwkv6 import rwkv6_chunk
+
+        o_loc, s_loc = rwkv6_chunk(
+            r, k, v, w, u, initial_state=zero,
+            chunk_size=chunk_size, subchunk_size=subchunk_size)
+
+    d_loc = jnp.exp(jnp.sum(w.astype(f32), axis=2))  # (b, h, dk)
+    s_in, s_final = _cp_exchange(d_loc, s_loc.astype(f32), s0, cp_axis)
+
+    wf = w.astype(f32)
+    bx = jnp.cumsum(wf, axis=2) - wf  # exclusive: decay up to t-1
+    mm = r.dtype if r.dtype == jnp.bfloat16 else f32
+    rdec = r.astype(f32) * jnp.exp(bx)
+    corr = jnp.einsum(
+        "bhtk,bhkv->bhtv", rdec.astype(mm), s_in.astype(mm),
+        preferred_element_type=f32)
+    o = (o_loc.astype(f32) + corr).astype(r.dtype)
+    return o, s_final
+
+
+def rwkv6_chunk_cp(
+    r: Array,
+    k: Array,
+    v: Array,
+    w: Array,
+    u: Array,
+    initial_state: Optional[Array] = None,
+    chunk_size: int = 64,
+    subchunk_size: int = 16,
+    *,
+    cp_axis: str = "cp",
+    mesh=None,
+    kernel: str = "chunk",
+) -> Tuple[Array, Array]:
+    """Context-parallel :func:`~lina_speech_tpu.ops.rwkv6.rwkv6_chunk`.
+
+    Same contract as :func:`gla_chunk_cp` with RWKV6 operands: r/k/w
+    (b, h, t, dk) and v (b, h, t, dv) time-sharded over ``mesh[cp_axis]``;
+    the bonus ``u`` (h, dk) and ``initial_state`` replicated along cp.
+    Packed resets fold into w (reset -> -20) exactly as single-device.
+    Returns (o, final_state), o time-sharded, final_state replicated.
+    """
+    b, h, t, dk = r.shape
+    dv = v.shape[-1]
+    state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
+    s0 = (jnp.zeros((b, h, dk, dv), jnp.float32) if initial_state is None
+          else initial_state.astype(jnp.float32))
+
+    m = mesh
+    if m is None:
+        m = jax.sharding.get_abstract_mesh()
+    if cp_axis not in getattr(m, "shape", {}):
+        raise ValueError(
+            f"rwkv6_chunk_cp: no mesh axis {cp_axis!r} — pass mesh= or set "
+            f"an ambient mesh (jax.set_mesh) carrying it")
+    n_cp = m.shape[cp_axis]
+    # pad with k = 0, w = 0 (decay 1, zero contribution) — exact, as in
+    # gla_chunk_cp
+    pad = (-t) % n_cp
+    if pad:
+        pz = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        r, k, v, w = pz(r), pz(k), pz(v), pz(w)
+
+    body = functools.partial(
+        _rwkv6_cp_body, cp_axis=cp_axis, chunk_size=chunk_size,
+        subchunk_size=subchunk_size, kernel=kernel)
+    tsharded = P(None, None, cp_axis, None)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        axis_names={cp_axis},
+        in_specs=(tsharded, tsharded, tsharded, tsharded, P(), P()),
+        out_specs=(tsharded, P()),
+        check_vma=False,  # s_final is replicated by construction
+    )
+    o, s_final = fn(r, k, v, w, u, s0)
     if pad:
         o = o[:, :, :t]
     return o, s_final.astype(state_dtype)

@@ -13,7 +13,8 @@ import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lina_speech_tpu.ops.gla import gla_chunk
-from lina_speech_tpu.ops.gla_cp import gla_chunk_cp
+from lina_speech_tpu.ops.gla_cp import gla_chunk_cp, rwkv6_chunk_cp
+from lina_speech_tpu.ops.rwkv6 import rwkv6_chunk
 
 
 def _mk(dtype, b=2, h=2, t=256, dk=32, dv=48, seed=0, with_resets=False):
@@ -106,11 +107,83 @@ def test_cp_uneven_local_length():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_cp_full_model_loss_and_grad_parity():
-    """End-to-end: the tiny GLA TTS model trained with audio time sharded
+def _mk_rwkv6(dtype, b=2, h=2, t=256, dk=32, dv=48, seed=0, with_resets=False):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    r = jax.random.normal(ks[0], (b, h, t, dk), dtype)
+    k = jax.random.normal(ks[1], (b, h, t, dk), dtype)
+    v = jax.random.normal(ks[2], (b, h, t, dv), dtype)
+    # log-decay <= 0 (lw = -exp(w_logit), models/rwkv6.py)
+    w = -jnp.exp(jax.random.normal(ks[3], (b, h, t, dk), jnp.float32)) * 0.1
+    if with_resets:
+        reset = jnp.zeros((t,), bool).at[jnp.array([71, 160])].set(True)
+        w = jnp.where(reset[None, None, :, None], -20.0, w)
+    u = jax.random.normal(ks[4], (h, dk), jnp.float32) * 0.5
+    s0 = jax.random.normal(ks[5], (b, h, dk, dv), jnp.float32) * 0.3
+    return r, k, v, w, u, s0
+
+
+@pytest.mark.parametrize("with_resets", [False, True])
+def test_rwkv6_cp_forward_parity_f32(with_resets):
+    r, k, v, w, u, s0 = _mk_rwkv6(jnp.float32, with_resets=with_resets)
+    o_ref, s_ref = rwkv6_chunk(r, k, v, w, u, initial_state=s0)
+    mesh = _cp_mesh()
+    sh = NamedSharding(mesh, P(None, None, "cp", None))
+    rs, ks_, vs, ws = (jax.device_put(x, sh) for x in (r, k, v, w))
+    o, s = jax.jit(functools.partial(rwkv6_chunk_cp, mesh=mesh))(
+        rs, ks_, vs, ws, u, initial_state=s0)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_rwkv6_cp_grad_parity():
+    r, k, v, w, u, s0 = _mk_rwkv6(jnp.float32, t=128)
+    mesh = _cp_mesh(dp=2, cp=4)
+
+    def loss_ref(args):
+        r, k, v, w, u, s0 = args
+        o, s = rwkv6_chunk(r, k, v, w, u, initial_state=s0)
+        return (o.astype(jnp.float32) ** 2).mean() + (s ** 2).mean()
+
+    def loss_cp(args):
+        r, k, v, w, u, s0 = args
+        o, s = rwkv6_chunk_cp(r, k, v, w, u, initial_state=s0, mesh=mesh)
+        return (o.astype(jnp.float32) ** 2).mean() + (s ** 2).mean()
+
+    g_ref = jax.grad(loss_ref)((r, k, v, w, u, s0))
+    sh = NamedSharding(mesh, P("dp", None, "cp", None))
+    args = (jax.device_put(r, sh), jax.device_put(k, sh),
+            jax.device_put(v, sh), jax.device_put(w, sh),
+            jax.device_put(u, NamedSharding(mesh, P())),
+            jax.device_put(s0, NamedSharding(mesh, P("dp"))))
+    g_cp = jax.jit(jax.grad(loss_cp))(args)
+    for a, b, name in zip(g_cp, g_ref, "r k v w u s0".split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_rwkv6_cp_uneven_local_length():
+    r, k, v, w, u, s0 = _mk_rwkv6(jnp.float32, t=192)
+    o_ref, s_ref = rwkv6_chunk(r, k, v, w, u, initial_state=s0)
+    mesh = _cp_mesh()
+    sh = NamedSharding(mesh, P(None, None, "cp", None))
+    rs, ks_, vs, ws = (jax.device_put(x, sh) for x in (r, k, v, w))
+    o, s = jax.jit(functools.partial(rwkv6_chunk_cp, mesh=mesh))(
+        rs, ks_, vs, ws, u, initial_state=s0)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("kind", ["gla", "simple_gla", "rwkv6"])
+def test_cp_full_model_loss_and_grad_parity(kind):
+    """End-to-end: the tiny TTS model trained with audio time sharded
     over cp matches the unsharded model's loss and grads (everything
-    outside the mixer — short convs, cross-attention, loss — is handled
-    by XLA SPMD propagation; the mixer by ops/gla_cp.py)."""
+    outside the mixer — short convs / ddlerp shift, cross-attention,
+    loss — is handled by XLA SPMD propagation; the mixer by
+    ops/gla_cp.py). Covers every CP-capable backbone kind."""
     import dataclasses
 
     from lina_speech_tpu.config import build_model, lina_gla_tiny
@@ -118,7 +191,8 @@ def test_cp_full_model_loss_and_grad_parity():
 
     cfg = lina_gla_tiny()
     cfg = dataclasses.replace(
-        cfg, backbone=dataclasses.replace(cfg.backbone, use_short_conv=True))
+        cfg, backbone=dataclasses.replace(
+            cfg.backbone, kind=kind, use_short_conv=(kind != "rwkv6")))
     cfg_cp = dataclasses.replace(
         cfg, backbone=dataclasses.replace(cfg.backbone, cp_axis="cp"))
     model_ref = build_model(cfg)
