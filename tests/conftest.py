@@ -19,28 +19,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 assert len(jax.devices()) == 8, jax.devices()
 # XLA:CPU compiles are very slow in this environment; persist them across
-# runs. The cache dir is scoped by the HOST CPU feature set: XLA:CPU AOT
-# executables are machine-specific, and loading an entry written on a host
-# with different features SIGILLs (measured: two pytest segfaults in
-# backend_compile_and_load / cache put at tests/test_serving.py after the
-# runner host changed — cpu_aot_loader warns "Machine type used for
-# compilation doesn't match"). TPU entries are device binaries and stay in
-# the shared .jax_cache.
-import hashlib  # noqa: E402
+# runs. The cache dir is scoped per host CPU (model + flags + kernel):
+# XLA:CPU AOT executables are machine-specific, and loading an entry
+# written on a different host SIGILLs/segfaults (measured three times in
+# backend_compile_and_load at tests/test_serving.py when the runner host
+# changed between rounds — the flags line alone was NOT discriminating
+# enough, see utils/compile_cache.py). TPU entries are device binaries
+# and stay in the shared .jax_cache.
+from lina_speech_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
-
-def _cpu_tag() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
-    except OSError:
-        pass
-    return "unknown"
-
-
-jax.config.update("jax_compilation_cache_dir",
-                  f"/root/repo/.jax_cache_cpu_{_cpu_tag()}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+enable_persistent_cache("/root/repo")
