@@ -195,7 +195,7 @@ def build_model(cfg: ModelConfig):
             d_model=b.d_model, n_layer=b.n_layer, heads=b.heads,
             dropout_att=b.dropout_att, dropout=b.dropout, d_blind=b.d_blind,
             blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
-            pos_type=b.pos_type, dtype=dtype,
+            pos_type=b.pos_type, cp_axis=b.cp_axis, dtype=dtype,
         )
     elif b.kind == "transformer":
         from lina_speech_tpu.models.transformer import TransformerCrossAtt

@@ -546,10 +546,24 @@ class GatedLinearAttention(nn.Module):
         if use_cp:
             from lina_speech_tpu.ops.gla_cp import gla_chunk_cp
 
+            if mode not in ("chunk", "chunk_pallas"):
+                # no CP path exists for the scan oracle / chunk_parallel —
+                # fail loudly instead of silently running "chunk"
+                raise ValueError(
+                    f"kernel_mode={mode!r} has no context-parallel "
+                    f"implementation; use 'chunk' or 'chunk_pallas' "
+                    f"(or unset cp_axis)")
+            pallas = mode == "chunk_pallas"
             o, s_final = gla_chunk_cp(
                 qh, kh, vh, gh, initial_state=s0,
                 chunk_size=self.chunk_size, cp_axis=self.cp_axis,
-                kernel="chunk_pallas" if mode == "chunk_pallas" else "chunk")
+                kernel="chunk_pallas" if pallas else "chunk",
+                # the Pallas kernel must run on local shards (no
+                # custom_partitioning inside the manual region): manualize
+                # the repo's standard batch/head mesh axes too (ignored
+                # when absent from the mesh — ops/gla_cp.py keep-logic)
+                batch_axis="dp" if pallas else None,
+                head_axis="tp" if pallas else None)
         elif fuse_conv:
             from lina_speech_tpu.ops.gla_pallas import gla_chunk_conv_pallas
 

@@ -58,6 +58,7 @@ class MambaMixer(nn.Module):
     expand: int = 2
     dt_rank: Optional[int] = None
     dtype: Any = jnp.float32
+    cp_axis: Optional[str] = None  # context parallelism (ops/mamba_cp.py)
 
     @property
     def d_inner(self) -> int:
@@ -125,8 +126,23 @@ class MambaMixer(nn.Module):
             x_conv = x_conv[:, self.d_conv - 1:]
         dt, A, B, C = self._ssm_inputs(x_conv)
         s0 = initial_state.h if initial_state is not None else None
-        y, h_final = selective_scan(x_conv, dt, A, B, C, self.D, initial_state=s0,
-                                    reset_mask=reset_mask)
+        if self.cp_axis is not None and not self.is_initializing():
+            from lina_speech_tpu.ops.mamba_cp import selective_scan_cp
+
+            # conv + projections above are time-local / XLA-SPMD-halo'd;
+            # only the scan needs the collective-aware CP op. The Pallas
+            # scan runs on local shards (batch manualized over dp — see
+            # gla_layer.py CP note).
+            pallas = jax.default_backend() == "tpu"
+            y, h_final = selective_scan_cp(
+                x_conv, dt, A, B, C, self.D, initial_state=s0,
+                reset_mask=reset_mask, cp_axis=self.cp_axis,
+                mode="pallas" if pallas else "scan",
+                batch_axis="dp" if pallas else None)
+        else:
+            y, h_final = selective_scan(x_conv, dt, A, B, C, self.D,
+                                        initial_state=s0,
+                                        reset_mask=reset_mask)
         out = self.out_proj(y * nn.silu(z))
         if output_final_state:
             w = self.d_conv
@@ -322,11 +338,13 @@ class AttentiveMamba(EncoderCrossDecoder):
     d_state: int = 16
     d_conv: int = 4
     expand: int = 2
+    cp_axis: Optional[str] = None  # context parallelism (ops/mamba_cp.py)
 
     def _block(self, d: int) -> MixingBlock:
         return MixingBlock(
             tmix=MambaMixer(d_model=d, d_state=self.d_state, d_conv=self.d_conv,
-                            expand=self.expand, dtype=self.dtype),
+                            expand=self.expand, dtype=self.dtype,
+                            cp_axis=self.cp_axis),
             cmix=SwiGLU(d, dtype=self.dtype),
             dropout=self.dropout,
         )

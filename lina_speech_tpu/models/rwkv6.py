@@ -181,10 +181,21 @@ class RWKV6Attention(nn.Module):
         if use_cp:
             from lina_speech_tpu.ops.gla_cp import rwkv6_chunk_cp
 
+            if mode not in ("chunk", "chunk_pallas"):
+                # no CP path exists for the scan oracle — fail loudly
+                # instead of silently running "chunk"
+                raise ValueError(
+                    f"kernel_mode={mode!r} has no context-parallel "
+                    f"implementation; use 'chunk' or 'chunk_pallas' "
+                    f"(or unset cp_axis)")
+            pallas = mode == "chunk_pallas"
             o, s_final = rwkv6_chunk_cp(
                 rh, kh, vh, wh, self.time_faaaa, initial_state=s0,
                 cp_axis=self.cp_axis,
-                kernel="chunk_pallas" if mode == "chunk_pallas" else "chunk")
+                kernel="chunk_pallas" if pallas else "chunk",
+                # see gla_layer.py: Pallas needs local shards under CP
+                batch_axis="dp" if pallas else None,
+                head_axis="tp" if pallas else None)
         elif mode == "chunk_pallas":
             from lina_speech_tpu.ops.rwkv6_pallas import rwkv6_chunk_pallas
 

@@ -23,3 +23,5 @@ from lina_speech_tpu.ops.rwkv6 import (
     rwkv6_scan_ref,
 )
 from lina_speech_tpu.ops.mamba import selective_scan, selective_step
+from lina_speech_tpu.ops.gla_cp import gla_chunk_cp, rwkv6_chunk_cp
+from lina_speech_tpu.ops.mamba_cp import selective_scan_cp

@@ -60,6 +60,20 @@ from lina_speech_tpu.ops.gla import gla_chunk, _default_scale
 Array = jax.Array
 
 
+def _pow2_chunk(chunk_size: int, floor: int = 128) -> int:
+    """Round a requested chunk size up to the Pallas kernels' contract
+    (power of two, >= ``floor``): e.g. 64 -> 128, 192 -> 256."""
+    return 1 << max(floor.bit_length() - 1, (chunk_size - 1).bit_length())
+
+
+def _keep_axis(mesh, name, dim):
+    """Mesh axis name if present and it divides ``dim``, else None —
+    mirrors the keep-logic of the kernels' custom_partitioning rules."""
+    if name is None or name not in getattr(mesh, "shape", {}):
+        return None
+    return name if dim % mesh.shape[name] == 0 else None
+
+
 def _combine(a, b):
     """Associative composition of (decay, contribution) state-affine maps."""
     Da, Ba = a
@@ -114,9 +128,13 @@ def _cp_body(
     if kernel == "chunk_pallas":
         from lina_speech_tpu.ops.gla_pallas import gla_chunk_pallas
 
+        # partitioned=False: inside this (fully-manual over cp/batch/head)
+        # shard_map the kernel runs on local shards — custom_partitioning
+        # cannot compile inside a manual region (r4 advisor; verified)
         o_loc, s_loc = gla_chunk_pallas(
             q, k, v, gk, initial_state=zero,
-            chunk_size=max(chunk_size, 128), scale=scale)
+            chunk_size=_pow2_chunk(chunk_size), scale=scale,
+            partitioned=False)
     else:
         o_loc, s_loc = gla_chunk(
             q, k, v, gk, initial_state=zero, scale=scale,
@@ -153,6 +171,8 @@ def gla_chunk_cp(
     cp_axis: str = "cp",
     mesh=None,
     kernel: str = "chunk",
+    batch_axis: Optional[str] = None,
+    head_axis: Optional[str] = None,
 ) -> Tuple[Array, Array]:
     """Context-parallel :func:`~lina_speech_tpu.ops.gla.gla_chunk`.
 
@@ -166,6 +186,13 @@ def gla_chunk_cp(
         cp_axis: mesh axis name carrying the time shards.
         mesh: the Mesh; None uses the ambient mesh (``jax.set_mesh``).
         kernel: "chunk" (XLA) or "chunk_pallas" (TPU kernel) per shard.
+        batch_axis / head_axis: optional mesh axes carrying the batch /
+            head dims (e.g. "dp"/"tp"); when given they are manualized
+            alongside cp so the Pallas kernel runs on local shards
+            (custom_partitioning cannot compile inside the partial-manual
+            region). Names absent from the mesh, or sizes that don't
+            divide the dim, are ignored. With kernel="chunk" they are
+            optional — XLA SPMD propagates auto axes through the body.
 
     Returns: (o, final_state) — o time-sharded like q, final_state
     replicated along cp (identical value on every shard). Differentiable
@@ -200,13 +227,16 @@ def gla_chunk_cp(
     body = functools.partial(
         _cp_body, cp_axis=cp_axis, scale=scale, chunk_size=chunk_size,
         subchunk_size=subchunk_size, kernel=kernel)
-    tsharded = P(None, None, cp_axis, None)
+    ba = _keep_axis(m, batch_axis, b)
+    ha = _keep_axis(m, head_axis, h)
+    tsharded = P(ba, ha, cp_axis, None)
+    rep = P(ba, ha, None, None)
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        axis_names={cp_axis},
-        in_specs=(tsharded, tsharded, tsharded, tsharded, P()),
-        out_specs=(tsharded, P()),
+        axis_names={cp_axis} | {a for a in (ba, ha) if a},
+        in_specs=(tsharded, tsharded, tsharded, tsharded, rep),
+        out_specs=(tsharded, rep),
         check_vma=False,  # s_final is replicated by construction
     )
     o, s_final = fn(q, k, v, gk, s0)
@@ -248,7 +278,7 @@ def _rwkv6_cp_body(
 
         o_loc, s_loc = rwkv6_chunk_pallas(
             r, k, v, w, u, initial_state=zero,
-            chunk_size=max(chunk_size, 128))
+            chunk_size=_pow2_chunk(chunk_size), partitioned=False)
     else:
         from lina_speech_tpu.ops.rwkv6 import rwkv6_chunk
 
@@ -283,6 +313,8 @@ def rwkv6_chunk_cp(
     cp_axis: str = "cp",
     mesh=None,
     kernel: str = "chunk",
+    batch_axis: Optional[str] = None,
+    head_axis: Optional[str] = None,
 ) -> Tuple[Array, Array]:
     """Context-parallel :func:`~lina_speech_tpu.ops.rwkv6.rwkv6_chunk`.
 
@@ -316,13 +348,16 @@ def rwkv6_chunk_cp(
     body = functools.partial(
         _rwkv6_cp_body, cp_axis=cp_axis, chunk_size=chunk_size,
         subchunk_size=subchunk_size, kernel=kernel)
-    tsharded = P(None, None, cp_axis, None)
+    ba = _keep_axis(m, batch_axis, b)
+    ha = _keep_axis(m, head_axis, h)
+    tsharded = P(ba, ha, cp_axis, None)
+    rep = P(ba, ha, None, None)
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        axis_names={cp_axis},
-        in_specs=(tsharded, tsharded, tsharded, tsharded, P(), P()),
-        out_specs=(tsharded, P()),
+        axis_names={cp_axis} | {a for a in (ba, ha) if a},
+        in_specs=(tsharded, tsharded, tsharded, tsharded, P(ha, None), rep),
+        out_specs=(tsharded, rep),
         check_vma=False,  # s_final is replicated by construction
     )
     o, s_final = fn(r, k, v, w, u, s0)

@@ -499,13 +499,20 @@ def _bh_axes(arg_info, mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_partitioned(scale, chunk_size, interpret, residual_dtype):
+def _fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
+                     partitioned=True):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(q, k, v, gk, s0):
         return _fwd_impl(q, k, v, gk, s0, scale, chunk_size, interpret,
                          residual_dtype)
+
+    if not partitioned:
+        # raw kernel for fully-manual shard_map contexts (ops/gla_cp.py):
+        # custom_partitioning cannot compile inside a partial-manual
+        # shard_map (its partition callback chokes on manual subgroups)
+        return fn
 
     cp = custom_partitioning(fn)
 
@@ -535,13 +542,16 @@ def _fwd_partitioned(scale, chunk_size, interpret, residual_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_partitioned(scale, chunk_size, interpret):
+def _bwd_partitioned(scale, chunk_size, interpret, partitioned=True):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(q, k, v, gk, chunk_states, do, dsf):
         return _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale,
                          chunk_size, interpret)
+
+    if not partitioned:
+        return fn
 
     cp = custom_partitioning(fn)
 
@@ -571,27 +581,28 @@ def _bwd_partitioned(scale, chunk_size, interpret):
     return cp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-                      residual_dtype):
-    o, sf, _ = _fwd_partitioned(scale, chunk_size, interpret, residual_dtype)(
-        q, k, v, gk, initial_state)
+                      residual_dtype, partitioned=True):
+    o, sf, _ = _fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
+                                partitioned)(q, k, v, gk, initial_state)
     return o, sf
 
 
 def _vjp_fwd(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-             residual_dtype):
+             residual_dtype, partitioned=True):
     o, sf, chunk_states = _fwd_partitioned(
-        scale, chunk_size, interpret, residual_dtype
+        scale, chunk_size, interpret, residual_dtype, partitioned
     )(q, k, v, gk, initial_state)
     return (o, sf), (q, k, v, gk, chunk_states)
 
 
-def _vjp_bwd(scale, chunk_size, interpret, residual_dtype, residuals,
-             cotangents):
+def _vjp_bwd(scale, chunk_size, interpret, residual_dtype, partitioned,
+             residuals, cotangents):
     q, k, v, gk, chunk_states = residuals
     do, dsf = cotangents
-    dq, dk, dv, dg, ds0 = _bwd_partitioned(scale, chunk_size, interpret)(
+    dq, dk, dv, dg, ds0 = _bwd_partitioned(
+        scale, chunk_size, interpret, partitioned)(
         q, k, v, gk, chunk_states, do, dsf
     )
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
@@ -611,6 +622,7 @@ def gla_chunk_pallas(
     chunk_size: int = 128,
     interpret: Optional[bool] = None,
     residual_dtype=jnp.bfloat16,
+    partitioned: bool = True,
 ) -> Tuple[Array, Array]:
     """Drop-in for :func:`lina_speech_tpu.ops.gla.gla_chunk`: Pallas forward
     AND handwritten Pallas backward (chunk-start states saved as residuals;
@@ -633,7 +645,7 @@ def gla_chunk_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     o, sf = _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size,
-                              interpret, residual_dtype)
+                              interpret, residual_dtype, partitioned)
     return o, sf.astype(state_dtype)
 
 

@@ -284,12 +284,16 @@ def _b_axis(arg_info, mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_partitioned(interpret):
+def _fwd_partitioned(interpret, partitioned=True):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(x, dt, B, C, keep, A2, D2, s0):
         return _fwd_impl(x, dt, B, C, keep, A2, D2, s0, interpret)
+
+    if not partitioned:
+        # raw kernel for fully-manual shard_map contexts (ops/mamba_cp.py)
+        return fn
 
     cp = custom_partitioning(fn)
 
@@ -320,12 +324,15 @@ def _fwd_partitioned(interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_partitioned(interpret):
+def _bwd_partitioned(interpret, partitioned=True):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(x, dt, B, C, keep, A2, D2, cs, dy, dsf):
         return _bwd_impl(x, dt, B, C, keep, A2, D2, cs, dy, dsf, interpret)
+
+    if not partitioned:
+        return fn
 
     cp = custom_partitioning(fn)
 
@@ -360,21 +367,23 @@ def _bwd_partitioned(interpret):
     return cp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def _mamba_scan(x, dt, B, C, keep, A2, D2, s0, interpret):
-    y, sf, _ = _fwd_partitioned(interpret)(x, dt, B, C, keep, A2, D2, s0)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _mamba_scan(x, dt, B, C, keep, A2, D2, s0, interpret, partitioned=True):
+    y, sf, _ = _fwd_partitioned(interpret, partitioned)(
+        x, dt, B, C, keep, A2, D2, s0)
     return y, sf
 
 
-def _vjp_fwd(x, dt, B, C, keep, A2, D2, s0, interpret):
-    y, sf, cs = _fwd_partitioned(interpret)(x, dt, B, C, keep, A2, D2, s0)
+def _vjp_fwd(x, dt, B, C, keep, A2, D2, s0, interpret, partitioned=True):
+    y, sf, cs = _fwd_partitioned(interpret, partitioned)(
+        x, dt, B, C, keep, A2, D2, s0)
     return (y, sf), (x, dt, B, C, keep, A2, D2, cs)
 
 
-def _vjp_bwd(interpret, residuals, cotangents):
+def _vjp_bwd(interpret, partitioned, residuals, cotangents):
     x, dt, B, C, keep, A2, D2, cs = residuals
     dy, dsf = cotangents
-    dx, ddt, dB, dC, ds0, dA_b, dD_b = _bwd_partitioned(interpret)(
+    dx, ddt, dB, dC, ds0, dA_b, dD_b = _bwd_partitioned(interpret, partitioned)(
         x, dt, B, C, keep, A2, D2, cs, dy, dsf.astype(jnp.float32))
     # A/D grads come back per-batch shard; the batch sum happens outside
     # the partitioned call so the partitioner inserts the dp psum
@@ -398,6 +407,7 @@ def mamba_scan_pallas(
     initial_state: Optional[Array] = None,
     reset_mask: Optional[Array] = None,
     interpret: Optional[bool] = None,
+    partitioned: bool = True,
 ) -> Tuple[Array, Array]:
     """Drop-in for :func:`lina_speech_tpu.ops.mamba.selective_scan`."""
     b, t, d = x.shape
@@ -411,5 +421,5 @@ def mamba_scan_pallas(
     s0 = (jnp.zeros((b, d, n), jnp.float32) if initial_state is None
           else initial_state.astype(jnp.float32))
     y, sf = _mamba_scan(x, dt, B, C, keep, A.T, D[None, :],
-                        s0.transpose(0, 2, 1), interpret)
+                        s0.transpose(0, 2, 1), interpret, partitioned)
     return y, sf.transpose(0, 2, 1).astype(state_dtype)

@@ -366,13 +366,18 @@ def _bwd_impl(r, k, v, w, u, chunk_states, do, dsf, chunk_size, interpret):
 
 # ------------------------------------------------------------ partitioning
 @functools.lru_cache(maxsize=None)
-def _fwd_partitioned(chunk_size, interpret, residual_dtype):
+def _fwd_partitioned(chunk_size, interpret, residual_dtype,
+                     partitioned=True):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(r, k, v, w, u, s0):
         return _fwd_impl(r, k, v, w, u, s0, chunk_size, interpret,
                          residual_dtype)
+
+    if not partitioned:
+        # raw kernel for fully-manual shard_map contexts (ops/gla_cp.py)
+        return fn
 
     cp = custom_partitioning(fn)
 
@@ -404,13 +409,16 @@ def _fwd_partitioned(chunk_size, interpret, residual_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_partitioned(chunk_size, interpret):
+def _bwd_partitioned(chunk_size, interpret, partitioned=True):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(r, k, v, w, u, chunk_states, do, dsf):
         return _bwd_impl(r, k, v, w, u, chunk_states, do, dsf, chunk_size,
                          interpret)
+
+    if not partitioned:
+        return fn
 
     cp = custom_partitioning(fn)
 
@@ -444,26 +452,28 @@ def _bwd_partitioned(chunk_size, interpret):
 
 
 # ------------------------------------------------------------- custom VJP
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _rwkv6_chunk_pallas(r, k, v, w, u, initial_state, chunk_size, interpret,
-                        residual_dtype):
-    o, sf, _ = _fwd_partitioned(chunk_size, interpret, residual_dtype)(
-        r, k, v, w, u, initial_state)
+                        residual_dtype, partitioned=True):
+    o, sf, _ = _fwd_partitioned(chunk_size, interpret, residual_dtype,
+                                partitioned)(r, k, v, w, u, initial_state)
     return o, sf
 
 
 def _vjp_fwd(r, k, v, w, u, initial_state, chunk_size, interpret,
-             residual_dtype):
+             residual_dtype, partitioned=True):
     o, sf, chunk_states = _fwd_partitioned(
-        chunk_size, interpret, residual_dtype
+        chunk_size, interpret, residual_dtype, partitioned
     )(r, k, v, w, u, initial_state)
     return (o, sf), (r, k, v, w, u, chunk_states)
 
 
-def _vjp_bwd(chunk_size, interpret, residual_dtype, residuals, cotangents):
+def _vjp_bwd(chunk_size, interpret, residual_dtype, partitioned, residuals,
+             cotangents):
     r, k, v, w, u, chunk_states = residuals
     do, dsf = cotangents
-    dr, dk, dv, dw, du_b, ds0 = _bwd_partitioned(chunk_size, interpret)(
+    dr, dk, dv, dw, du_b, ds0 = _bwd_partitioned(
+        chunk_size, interpret, partitioned)(
         r, k, v, w, u, chunk_states, do, dsf
     )
     # per-(batch, head) bonus grads -> (h, dk); XLA turns this into a psum
@@ -486,6 +496,7 @@ def rwkv6_chunk_pallas(
     chunk_size: int = 128,
     interpret: Optional[bool] = None,
     residual_dtype=jnp.bfloat16,
+    partitioned: bool = True,
 ) -> Tuple[Array, Array]:
     """Drop-in for :func:`lina_speech_tpu.ops.rwkv6.rwkv6_chunk`: Pallas
     forward AND handwritten Pallas backward. ``chunk_size`` must be a power
@@ -502,5 +513,5 @@ def rwkv6_chunk_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     o, sf = _rwkv6_chunk_pallas(r, k, v, w, u, initial_state, chunk_size,
-                                interpret, residual_dtype)
+                                interpret, residual_dtype, partitioned)
     return o, sf.astype(state_dtype)

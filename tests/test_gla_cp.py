@@ -107,6 +107,43 @@ def test_cp_uneven_local_length():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("batch_axis", [None, "dp"])
+def test_cp_kernel_pallas_parity_interpret(batch_axis):
+    """kernel="chunk_pallas" CP branch (raw non-custom_partitioning kernel
+    inside the manual shard_map region) — interpret-mode on the CPU mesh,
+    with and without a dp-manualized batch. Also covers the chunk-size
+    round-up: 192 is not a power of two and would crash gla_chunk_pallas
+    if passed through unrounded (advisor r4)."""
+    q, k, v, gk, s0 = _mk(jnp.float32)
+    o_ref, s_ref = gla_chunk(q, k, v, gk, initial_state=s0)
+    mesh = _cp_mesh(dp=2, cp=2)
+    sh = NamedSharding(mesh, P("dp", None, "cp", None))
+    qs, ks_, vs, gs = (jax.device_put(x, sh) for x in (q, k, v, gk))
+    o, s = jax.jit(functools.partial(
+        gla_chunk_cp, mesh=mesh, kernel="chunk_pallas", chunk_size=192,
+        batch_axis=batch_axis))(qs, ks_, vs, gs, initial_state=s0)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=4e-4, atol=4e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=4e-4, atol=4e-4)
+
+
+def test_cp_time_not_divisible_by_mesh():
+    """t % n_cp != 0 exercises the shard_map pad/trim path (advisor r4:
+    all previous lengths divided the cp size, covering only the
+    intra-kernel chunk padding)."""
+    q, k, v, gk, s0 = _mk(jnp.float32, t=197)
+    o_ref, s_ref = gla_chunk(q, k, v, gk, initial_state=s0)
+    mesh = _cp_mesh()
+    o, s = jax.jit(functools.partial(gla_chunk_cp, mesh=mesh))(
+        q, k, v, gk, initial_state=s0)
+    assert o.shape == o_ref.shape
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def _mk_rwkv6(dtype, b=2, h=2, t=256, dk=32, dv=48, seed=0, with_resets=False):
     ks = jax.random.split(jax.random.PRNGKey(seed), 6)
     r = jax.random.normal(ks[0], (b, h, t, dk), dtype)
@@ -175,6 +212,64 @@ def test_rwkv6_cp_uneven_local_length():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_rwkv6_cp_kernel_pallas_parity_interpret():
+    """RWKV6 twin of test_cp_kernel_pallas_parity_interpret (advisor r4)."""
+    r, k, v, w, u, s0 = _mk_rwkv6(jnp.float32)
+    o_ref, s_ref = rwkv6_chunk(r, k, v, w, u, initial_state=s0)
+    mesh = _cp_mesh(dp=1, cp=2)
+    sh = NamedSharding(mesh, P(None, None, "cp", None))
+    rs, ks_, vs, ws = (jax.device_put(x, sh) for x in (r, k, v, w))
+    o, s = jax.jit(functools.partial(
+        rwkv6_chunk_cp, mesh=mesh, kernel="chunk_pallas", chunk_size=192))(
+        rs, ks_, vs, ws, u, initial_state=s0)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=4e-4, atol=4e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=4e-4, atol=4e-4)
+
+
+def test_rwkv6_cp_time_not_divisible_by_mesh():
+    r, k, v, w, u, s0 = _mk_rwkv6(jnp.float32, t=197)
+    o_ref, s_ref = rwkv6_chunk(r, k, v, w, u, initial_state=s0)
+    mesh = _cp_mesh()
+    o, s = jax.jit(functools.partial(rwkv6_chunk_cp, mesh=mesh))(
+        r, k, v, w, u, initial_state=s0)
+    assert o.shape == o_ref.shape
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cp_rejects_scan_mode():
+    """cp_axis + kernel_mode='scan' must raise, not silently run 'chunk'
+    (advisor r4: models/rwkv6.py + gla_layer.py CP dispatch)."""
+    import dataclasses
+
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+    from lina_speech_tpu.parallel import MeshConfig, make_mesh
+
+    for kind in ("gla", "rwkv6"):
+        cfg = lina_gla_tiny()
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(
+                cfg.backbone, kind=kind, cp_axis="cp",
+                kernel_mode="scan", use_short_conv=(kind != "rwkv6")))
+        model = build_model(cfg)
+        b, m, n = 2, 8, 16
+        x = jax.random.randint(jax.random.PRNGKey(0), (b, m), 3, 256)
+        y = jax.random.randint(jax.random.PRNGKey(1), (b, n, 1), 3, 50)
+        em = jnp.ones((b, m, m), bool)
+        cm = jnp.ones((b, n, m), bool)
+        ym = jnp.ones((b, n), bool)
+        params = jax.jit(model.init)(jax.random.PRNGKey(2), x, y, em, cm, ym)
+        mesh = make_mesh(MeshConfig(dp=2, tp=1, cp=4))
+        with jax.set_mesh(mesh):
+            with pytest.raises(ValueError, match="context-parallel"):
+                jax.jit(lambda p: model.apply(p, x, y, em, cm,
+                                              logits_mask=ym))(params)
 
 
 @pytest.mark.parametrize("kind", ["gla", "simple_gla", "rwkv6"])
