@@ -145,7 +145,8 @@ def build_model(cfg: ModelConfig):
             cross_att_layers=tuple(b.cross_att_layers), heads=b.heads,
             dropout_att=b.dropout_att, dropout=b.dropout, rotary=b.rotary,
             use_short_conv=b.use_short_conv, expand_k=b.expand_k,
-            expand_v=b.expand_v, chunk_size=b.chunk_size, dtype=dtype,
+            expand_v=b.expand_v, chunk_size=b.chunk_size,
+            kernel_mode=b.kernel_mode, cp_axis=b.cp_axis, dtype=dtype,
         )
     elif b.kind == "simple_gla":
         from lina_speech_tpu.models.simple_gla import AttentiveSimpleGLA
@@ -175,7 +176,7 @@ def build_model(cfg: ModelConfig):
             d_model=b.d_model, n_layer=b.n_layer,
             cross_att_layers=tuple(b.cross_att_layers), heads=b.heads,
             dropout_att=b.dropout_att, dropout=b.dropout, rotary=b.rotary,
-            dtype=dtype,
+            cp_axis=b.cp_axis, dtype=dtype,
         )
     elif b.kind == "mamba2":
         from lina_speech_tpu.models.mamba import AttentiveMamba2
@@ -186,7 +187,7 @@ def build_model(cfg: ModelConfig):
             blind=b.blind, cross_att_pp=b.cross_att_pp, rotary=b.rotary,
             pos_type=b.pos_type,
             headdim=64 if (2 * b.d_model) % 64 == 0 else 16,
-            dtype=dtype,
+            cp_axis=b.cp_axis, dtype=dtype,
         )
     elif b.kind == "mamba":
         from lina_speech_tpu.models.mamba import AttentiveMamba

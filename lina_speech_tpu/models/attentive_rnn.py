@@ -464,10 +464,14 @@ class CrossAttGLA(InterleavedCrossAtt):
     expand_k: float = 1.0
     expand_v: float = 2.0
     chunk_size: int = 64
+    kernel_mode: str = "auto"
+    cp_axis: Optional[str] = None  # context parallelism (ops/gla_cp.py)
 
     def _block(self, d: int) -> MixingBlock:
         return _gla_block(d, self.heads, self.use_short_conv, self.expand_k,
-                          self.expand_v, self.dropout, self.chunk_size, self.dtype)
+                          self.expand_v, self.dropout, self.chunk_size,
+                          self.dtype, kernel_mode=self.kernel_mode,
+                          cp_axis=self.cp_axis)
 
     def _layer_state(self, batch_size: int, d: int, dtype: Any) -> GLAState:
         return gla_empty_state(

@@ -185,6 +185,7 @@ class Mamba2Mixer(nn.Module):
     expand: int = 2
     headdim: int = 64
     dtype: Any = jnp.float32
+    cp_axis: Optional[str] = None  # context parallelism (ops/gla_cp.py)
 
     @property
     def d_inner(self) -> int:
@@ -265,7 +266,16 @@ class Mamba2Mixer(nn.Module):
         s0 = initial_state.h if initial_state is not None else None
         if s0 is not None:
             s0 = s0.reshape(b, self.n_heads, self.d_state, self.headdim)
-        o, s_final = gla_chunk(q, k, v, gk, initial_state=s0, scale=1.0)
+        if self.cp_axis is not None and not self.is_initializing():
+            from lina_speech_tpu.ops.gla_cp import gla_chunk_cp
+
+            # SSD rides the GLA CP op directly (it IS scalar-decay GLA);
+            # resets are already folded into gk above, matching the
+            # single-device soft-reset semantics exactly
+            o, s_final = gla_chunk_cp(q, k, v, gk, initial_state=s0,
+                                      scale=1.0, cp_axis=self.cp_axis)
+        else:
+            o, s_final = gla_chunk(q, k, v, gk, initial_state=s0, scale=1.0)
         o = o + self.D[None, :, None, None] * xh  # D skip
         o = o.transpose(0, 2, 1, 3).reshape(b, t, self.d_inner)
         # gated per-head RMSNorm (Mamba2 norm): RMS over head channels
@@ -362,12 +372,13 @@ class AttentiveMamba2(EncoderCrossDecoder):
     d_conv: int = 4
     expand: int = 2
     headdim: int = 64
+    cp_axis: Optional[str] = None  # context parallelism (ops/gla_cp.py)
 
     def _block(self, d: int) -> MixingBlock:
         return MixingBlock(
             tmix=Mamba2Mixer(d_model=d, d_state=self.d_state, d_conv=self.d_conv,
                              expand=self.expand, headdim=self.headdim,
-                             dtype=self.dtype),
+                             dtype=self.dtype, cp_axis=self.cp_axis),
             cmix=SwiGLU(d, dtype=self.dtype),
             dropout=self.dropout,
         )
@@ -385,11 +396,13 @@ class CrossAttMamba(InterleavedCrossAtt):
     d_state: int = 16
     d_conv: int = 4
     expand: int = 2
+    cp_axis: Optional[str] = None  # context parallelism (ops/mamba_cp.py)
 
     def _block(self, d: int) -> MixingBlock:
         return MixingBlock(
             tmix=MambaMixer(d_model=d, d_state=self.d_state, d_conv=self.d_conv,
-                            expand=self.expand, dtype=self.dtype),
+                            expand=self.expand, dtype=self.dtype,
+                            cp_axis=self.cp_axis),
             cmix=SwiGLU(d, dtype=self.dtype),
             dropout=self.dropout,
         )

@@ -272,8 +272,14 @@ def test_cp_rejects_scan_mode():
                                               logits_mask=ym))(params)
 
 
-@pytest.mark.parametrize("kind", ["gla", "simple_gla", "rwkv6"])
-def test_cp_full_model_loss_and_grad_parity(kind):
+@pytest.mark.parametrize("kind, interleaved", [
+    ("gla", False), ("simple_gla", False), ("rwkv6", False),
+    # interleaved cross-attention variants (CrossAttGLA / CrossAttMamba):
+    # the mixer stack runs CP, the interleaved CrossAttention layers are
+    # time-parallel and ride XLA SPMD propagation
+    ("gla", True), ("mamba", True),
+])
+def test_cp_full_model_loss_and_grad_parity(kind, interleaved):
     """End-to-end: the tiny TTS model trained with audio time sharded
     over cp matches the unsharded model's loss and grads (everything
     outside the mixer — short convs / ddlerp shift, cross-attention,
@@ -287,7 +293,8 @@ def test_cp_full_model_loss_and_grad_parity(kind):
     cfg = lina_gla_tiny()
     cfg = dataclasses.replace(
         cfg, backbone=dataclasses.replace(
-            cfg.backbone, kind=kind, use_short_conv=(kind != "rwkv6")))
+            cfg.backbone, kind=kind, use_short_conv=(kind != "rwkv6"),
+            cross_att_layers=(1,) if interleaved else ()))
     cfg_cp = dataclasses.replace(
         cfg, backbone=dataclasses.replace(cfg.backbone, cp_axis="cp"))
     model_ref = build_model(cfg)

@@ -116,9 +116,11 @@ def test_mamba_cp_grad_parity():
                                    rtol=3e-4, atol=3e-4, err_msg=name)
 
 
-def test_mamba_cp_full_model_loss_and_grad_parity():
-    """End-to-end: the tiny TTS model (kind="mamba") trained with audio
-    time sharded over cp matches the unsharded model's loss and grads."""
+@pytest.mark.parametrize("kind", ["mamba", "mamba2"])
+def test_mamba_cp_full_model_loss_and_grad_parity(kind):
+    """End-to-end: the tiny TTS model (kind="mamba" / "mamba2") trained
+    with audio time sharded over cp matches the unsharded model's loss
+    and grads (Mamba2/SSD rides gla_chunk_cp — it IS scalar-decay GLA)."""
     import dataclasses
 
     from lina_speech_tpu.config import build_model, lina_gla_tiny
@@ -126,9 +128,9 @@ def test_mamba_cp_full_model_loss_and_grad_parity():
 
     cfg = lina_gla_tiny()
     cfg = dataclasses.replace(
-        cfg, backbone=dataclasses.replace(cfg.backbone, kind="mamba"))
+        cfg, backbone=dataclasses.replace(cfg.backbone, kind=kind))
     cfg_cp = dataclasses.replace(
-        cfg, backbone=dataclasses.replace(cfg.backbone, kind="mamba",
+        cfg, backbone=dataclasses.replace(cfg.backbone, kind=kind,
                                           cp_axis="cp"))
     model_ref = build_model(cfg)
     model_cp = build_model(cfg_cp)
