@@ -77,8 +77,11 @@ def fit(args) -> None:
     if getattr(args, "cp", 1) > 1:
         import dataclasses
 
-        if model_cfg.backbone.kind not in ("gla",):
-            raise SystemExit("--cp requires the GLA backbone (ops/gla_cp.py)")
+        # every backbone family has a CP path (ops/gla_cp.py /
+        # ops/mamba_cp.py); the transformer baseline does not
+        if model_cfg.backbone.kind == "transformer":
+            raise SystemExit("--cp is not supported for the transformer "
+                             "baseline (no sequence-sharded kernel)")
         model_cfg = dataclasses.replace(
             model_cfg,
             backbone=dataclasses.replace(model_cfg.backbone, cp_axis="cp"))
