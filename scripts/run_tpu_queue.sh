@@ -1,4 +1,8 @@
 #!/bin/bash
+# HISTORICAL (round-3): everything this queue measures has since been run
+# on hardware and recorded in BASELINE.md / BENCH_r04+ (b1-int8 1313,
+# train 46.1k, S0 e2e clean, quality bounds). Kept as the methodology
+# record for re-running A/Bs after a tunnel outage.
 # Round-3 TPU-gated queue (see VERDICT.md r2 items #2, #3, #8).
 # Runs everything SERIALLY — never run two TPU processes at once: the axon
 # tunnel serializes them and both stall (CLAUDE.md).
