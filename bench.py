@@ -146,11 +146,12 @@ def _bench_codec_gan(batch: int, crop_len: int, steps: int) -> float:
 
 def main():
     # persistent compile cache: the remote-TPU compile path is slow; cache
-    # compiled executables across runs
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # compiled executables across runs. Host-scoped dir for CPU fallback
+    # runs (XLA:CPU AOT entries are machine-specific — see
+    # lina_speech_tpu/utils/compile_cache.py); TPU shares .jax_cache.
+    from lina_speech_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(os.path.dirname(os.path.abspath(__file__)))
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "256"))

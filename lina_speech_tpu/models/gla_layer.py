@@ -567,21 +567,26 @@ class GatedLinearAttention(nn.Module):
         elif fuse_conv:
             from lina_speech_tpu.ops.gla_pallas import gla_chunk_conv_pallas
 
+            from lina_speech_tpu.ops.gla_cp import _pow2_chunk
+
             o, s_final = gla_chunk_conv_pallas(
                 qh, kh, vh, gh,
                 self.q_conv1d.kernel.astype(self.dtype),
                 self.k_conv1d.kernel.astype(self.dtype),
                 self.v_conv1d.kernel.astype(self.dtype),
                 initial_state=s0,
-                chunk_size=max(self.chunk_size, 128),
+                # kernel contract: power of two (round 192 -> 256 etc.)
+                chunk_size=_pow2_chunk(self.chunk_size),
             )
         elif mode == "chunk_pallas":
+            from lina_speech_tpu.ops.gla_cp import _pow2_chunk
             from lina_speech_tpu.ops.gla_pallas import gla_chunk_pallas
 
             o, s_final = gla_chunk_pallas(
                 qh, kh, vh, gh, initial_state=s0,
-                # dyadic-intra kernel: full-row MXU matmuls at C=128
-                chunk_size=max(self.chunk_size, 128),
+                # dyadic-intra kernel: full-row MXU matmuls at C=128;
+                # power-of-two contract (round 192 -> 256 etc.)
+                chunk_size=_pow2_chunk(self.chunk_size),
             )
         elif mode == "chunk_parallel":
             from lina_speech_tpu.ops.gla import gla_chunk_parallel

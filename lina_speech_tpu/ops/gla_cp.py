@@ -193,6 +193,13 @@ def gla_chunk_cp(
             region). Names absent from the mesh, or sizes that don't
             divide the dim, are ignored. With kernel="chunk" they are
             optional — XLA SPMD propagates auto axes through the body.
+            CAUTION (kernel="chunk_pallas" only): if the batch/head dims
+            are actually sharded over mesh axes NOT named here (or a
+            named axis was ignored for non-divisibility), those dims
+            stay auto-sharded around a raw pallas_call with no
+            partitioning rule — expect a lowering error or a silent
+            gather; rename the axes, make the dims divide, or fall back
+            to kernel="chunk".
 
     Returns: (o, final_state) — o time-sharded like q, final_state
     replicated along cp (identical value on every shard). Differentiable
