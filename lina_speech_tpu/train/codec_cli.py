@@ -139,6 +139,11 @@ def main(argv=None):
             from lina_speech_tpu.parallel import ensure_virtual_cpu_devices
 
             ensure_virtual_cpu_devices(args.dp)
+    # persistent compile cache (host-scoped on CPU — see
+    # utils/compile_cache.py); must follow the platform decision above
+    from lina_speech_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if args.cmd == "fit":
         fit(args)
 

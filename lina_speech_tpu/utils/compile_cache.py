@@ -52,14 +52,18 @@ def cpu_cache_tag() -> str:
 
 def enable_persistent_cache(root: str | None = None) -> str:
     """Point jax's persistent compilation cache at a platform-appropriate
-    directory under ``root`` (default: the repository root, two levels up
-    from this file). Returns the chosen directory. Must run after the
-    platform is decided (it reads ``jax.default_backend()``)."""
+    directory under ``root`` (default: ``$XDG_CACHE_HOME/lina_speech_tpu``
+    — suitable for installed CLIs; the repo's conftest/bench/driver entry
+    pass the checkout root explicitly). Returns the chosen directory.
+    Must run after the platform is decided (it reads
+    ``jax.default_backend()``)."""
     import jax
 
     if root is None:
-        root = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
+        root = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "lina_speech_tpu")
+        os.makedirs(root, exist_ok=True)
     if jax.default_backend() == "cpu":
         cache_dir = os.path.join(root, f".jax_cache_cpu_{cpu_cache_tag()}")
     else:
