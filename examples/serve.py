@@ -23,6 +23,9 @@ def main():
     p.add_argument("--config", default=None, help="model YAML (default tiny)")
     p.add_argument("--lina-ckpt", default=None)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--lazy", action="store_true",
+                   help="lazy micro-chunk decode (chunk == lazy window; "
+                        "wins at high slot occupancy, GLA backbones)")
     args = p.parse_args()
 
     import jax
@@ -56,7 +59,7 @@ def main():
 
     texts = [f"hello stream number {i} from the tpu" for i in range(args.requests)]
     srv = DecodeServer(model, params, n_slots=args.slots,
-                       max_text_len=64, chunk=args.chunk)
+                       max_text_len=64, chunk=args.chunk, lazy=args.lazy)
     t0 = time.perf_counter()
     for t in texts:
         srv.submit(np.asarray(tok.encode(t)), max_len=args.max_len)

@@ -37,6 +37,16 @@ decode loop runs dp-parallel across chips, each owning n_slots/dp slots
 (params may additionally be tp-sharded by the caller via
 ``parallel.shard_params``) — continuous batching scaled out the TPU way.
 
+``lazy=True`` decodes each chunk as a lazy micro-chunk window
+(``generate_batch(lazy_window=chunk)``'s machinery): base recurrent
+states are read-only across the chunk, one fold lands the buffered
+rank-L update per chunk — the record b64 decode path, serving-side.
+``state_quant="int8"|"int4"`` additionally row-quantizes the base
+states (requires lazy). Greedy lazy serving equals per-request
+``generate_batch(lazy_window=chunk, state_quant=...)`` exactly,
+including recycled slots (insertion happens post-fold, which is the
+same condition as generate's post-prefill ``add_lazy_buffers``).
+
 ``weight_quant="int8"`` runs the decode loop on the quantized tree (a
 traced argument — QDense streams the int8 Dense kernels from HBM, the b1
 bandwidth win; nothing is baked into the executable as a constant) while
@@ -128,9 +138,27 @@ class DecodeServer:
         int8_prefill_full_precision: bool = True,
         mesh=None,
         cfg_coef: Optional[float] = None,
+        lazy: bool = False,
+        state_quant: Optional[str] = None,
     ):
         self.model = model
         self.n_slots = n_slots
+        # Lazy micro-chunk decode (generate.py lazy_window, same machinery):
+        # the serving chunk IS the lazy window — base states are read-only
+        # across the chunk's steps (the loop carries only the small window
+        # buffers) and one fold lands the rank-L update afterwards. Slot
+        # insertion happens only at chunk boundaries (post-fold, buffers
+        # stale-but-masked), so each slot's math is identical to its own
+        # generate_batch(lazy_window=chunk) run — exactness is tested.
+        # WINS at high occupancy (b64: state-traffic-bound, BASELINE.md);
+        # classic per-token decode stays the default for small slot counts.
+        # ``state_quant="int8"|"int4"`` additionally row-quantizes the
+        # base states (requires lazy; the lossy aggregate-record knob).
+        self._lazy = lazy
+        self._state_quant = state_quant
+        if state_quant is not None and not lazy:
+            raise ValueError("state_quant requires lazy=True (it rides the "
+                             "lazy base-state layout)")
         # Classifier-free guidance (generate.py cfg_coef, same math): the
         # device batch doubles — rows [0:B] conditional, [B:2B] the same
         # slots against the all-mask text; every step samples from
@@ -187,7 +215,16 @@ class DecodeServer:
         # shapes only — eval_shape avoids eager device allocations (each is
         # a remote dispatch over the axon tunnel); also reused by the mesh
         # branch below for per-leaf batch-axis inference
-        one = jax.eval_shape(lambda: model.empty_state(1))
+        def _with_buffers(st):
+            if not self._lazy:
+                return st
+            from lina_speech_tpu.models.attentive_rnn import add_lazy_buffers
+
+            return add_lazy_buffers(st, self.chunk, dtype=cdt,
+                                    state_quant=self._state_quant)
+
+        self._with_buffers = _with_buffers
+        one = jax.eval_shape(lambda: _with_buffers(model.empty_state(1)))
         for leaf in jax.tree_util.tree_leaves(one):
             if getattr(leaf, "ndim", 1) == 0:
                 # TransformerState's KV clock is one scalar per layer —
@@ -203,7 +240,9 @@ class DecodeServer:
         self._ca_mask = jnp.zeros((B2, 1, m), bool)
         self._y_embd = jnp.zeros((B2, d), cdt)
         self._t = jnp.zeros((B2,), jnp.int32)
-        self._state = model.empty_state(B2)
+        # one jitted program (not leaf-by-leaf eager zeros: each eager op
+        # is a remote dispatch on the axon tunnel)
+        self._state = jax.jit(lambda: _with_buffers(model.empty_state(B2)))()
 
         # Multi-chip serving: shard the SLOT BATCH over the mesh's "dp"
         # axis — the chunked decode loop then runs dp-parallel across
@@ -301,6 +340,11 @@ class DecodeServer:
         indices in ``slots`` — every "one" arg has leading/g-sized batch."""
         B2 = self._B2
         g = x_enc1.shape[0]
+        # lazy mode: give the fresh rows their (zeroed) window buffers /
+        # quantized base-state layout so the trees match leaf-for-leaf;
+        # insertion happens at chunk boundaries (post-fold), which is
+        # exactly generate_batch's post-prefill add_lazy_buffers condition
+        one_state = self._with_buffers(one_state)
 
         def put(bl, ol):
             ax = _batch_axis(bl.shape, ol.shape, B2, one=g)
@@ -336,10 +380,12 @@ class DecodeServer:
         tile = (lambda z: jnp.concatenate([z, z], axis=0)) \
             if self._cfg is not None else (lambda z: z)
 
-        def step(carry, kk):
+        def step(carry, xs):
+            kk, j = xs
             state, y_embd, t = carry
             logits, _, state = model.apply(
                 lp, y_embd, x_enc, state, time_step=t,
+                lazy_p=(j if self._lazy else None),
                 crossatt_mask=ca_mask, crossatt_pos_valid=pv,
                 method=LinaModel.decode_step,
             )
@@ -351,7 +397,14 @@ class DecodeServer:
 
         keys = jax.random.split(key, self.chunk)
         (state, y_embd, t), toks = jax.lax.scan(
-            step, (state, y_embd, t), keys)
+            step, (state, y_embd, t), (keys, jnp.arange(self.chunk)))
+        if self._lazy:
+            from lina_speech_tpu.models.attentive_rnn import fold_lazy_state
+
+            # one unconditional fold per chunk: the buffered rank-L window
+            # lands in the base states; buffers stay stale (masked by the
+            # next chunk's lazy_p, rewritten before its fold reads them)
+            state = fold_lazy_state(state)
         return state, y_embd, t, toks  # toks: (chunk, B, q)
 
     # ------------------------------------------------------------ host API

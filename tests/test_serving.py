@@ -131,6 +131,46 @@ def test_server_int8_matches_generate_int8():
     np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
 
 
+@pytest.mark.parametrize("squant", [None, "int8"])
+def test_server_lazy_matches_generate_lazy(squant):
+    """Lazy serving (lazy=True: the chunk IS the lazy window — read-only
+    base states, one fold per chunk) must equal each request's own
+    generate_batch(lazy_window=chunk) greedy run exactly, including slot
+    recycling (5 requests through 2 slots) and the int8 base-state knob.
+    Insertion happens at chunk boundaries (post-fold), so a recycled
+    slot's buffers start in exactly generate's post-prefill condition."""
+    cfg, model, params = _setup()
+    texts = [
+        np.asarray([5, 9, 3, 17, 8]),
+        np.asarray([12, 4, 33, 7, 19, 21, 6]),
+        np.asarray([40, 41]),
+        np.asarray([3, 18, 27, 9]),
+        np.asarray([25, 26, 27, 28, 29, 30]),
+    ]
+    max_len = 20
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4,
+                       lazy=True, state_quant=squant)
+    rids = [srv.submit(t, max_len=max_len) for t in texts]
+    done = {c.rid: c for c in srv.run()}
+    assert set(done) == set(rids)
+    for rid, text in zip(rids, texts):
+        ref = generate_batch(
+            model, params, jnp.asarray(text)[None], jax.random.PRNGKey(9),
+            max_seqlen=max_len, k=1, force_max_seqlen=True,
+            lazy_window=4, state_quant=squant,
+        )
+        ref_toks = np.asarray(ref.tokens)[:, 0, :].T
+        c = done[rid]
+        np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
+
+
+def test_server_lazy_requires_state_quant_with_lazy():
+    cfg, model, params = _setup()
+    with pytest.raises(ValueError, match="state_quant requires lazy"):
+        DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4,
+                     state_quant="int8")
+
+
 def test_slots_recycle_under_load():
     cfg, model, params = _setup()
     srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4)
