@@ -240,9 +240,32 @@ class DecodeServer:
         self._ca_mask = jnp.zeros((B2, 1, m), bool)
         self._y_embd = jnp.zeros((B2, d), cdt)
         self._t = jnp.zeros((B2,), jnp.int32)
+
+        # Container dtypes must match what PREFILL produces, not
+        # empty_state's f32 default: ``_insert`` casts incoming request
+        # rows to the container's dtypes, so an f32 container silently
+        # upcasts every bf16 recurrent state / conv ring (2x decode-state
+        # HBM traffic for bf16 configs) and crashes lazy mode (bf16 window
+        # buffers vs f32-promoted conv projections). eval_shape of one
+        # prefill chunk gives the leaf-exact dtypes without running it.
+        def _prefill_state_tmpl(p, emb, xe, msk):
+            _, _, st = model.apply(p, emb, xe, model.empty_state(1),
+                                   crossatt_mask=msk,
+                                   method=LinaModel.prefill)
+            return _with_buffers(st)
+
+        tmpl = jax.eval_shape(
+            _prefill_state_tmpl, self._pre_params,
+            jax.ShapeDtypeStruct((1, 1, d), cdt),
+            jax.ShapeDtypeStruct((1, m, d), cdt),
+            jax.ShapeDtypeStruct((1, 1, m), jnp.bool_))
+        batch_tmpl = jax.eval_shape(
+            lambda: _with_buffers(model.empty_state(B2)))
         # one jitted program (not leaf-by-leaf eager zeros: each eager op
         # is a remote dispatch on the axon tunnel)
-        self._state = jax.jit(lambda: _with_buffers(model.empty_state(B2)))()
+        self._state = jax.jit(lambda: jax.tree_util.tree_map(
+            lambda bl, tl: jnp.zeros(bl.shape, tl.dtype),
+            batch_tmpl, tmpl))()
 
         # Multi-chip serving: shard the SLOT BATCH over the mesh's "dp"
         # axis — the chunked decode loop then runs dp-parallel across

@@ -164,6 +164,50 @@ def test_server_lazy_matches_generate_lazy(squant):
         np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
 
 
+def test_server_bf16_lazy_matches_generate_and_keeps_state_bf16():
+    """bf16 compute/state config: the slot container must take PREFILL's
+    leaf dtypes, not empty_state's f32 default — the f32 container both
+    doubled decode-state HBM traffic (``_insert`` casts rows to the
+    container dtype) and crashed lazy mode (bf16 window buffers vs
+    f32-promoted conv projections). Regression for the round-5 serving
+    bench crash (dynamic_update_slice bf16 vs f32)."""
+    cfg = lina_gla_tiny()
+    cfg = dataclasses.replace(
+        cfg, compute_dtype="bfloat16",
+        backbone=dataclasses.replace(cfg.backbone, state_dtype="bfloat16"))
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (1, 10), 3, cfg.n_txt_vocab)
+    y = jax.random.randint(jax.random.PRNGKey(1), (1, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3)
+    params = model.init(
+        jax.random.PRNGKey(2), x, y, jnp.ones((1, 10, 10), bool),
+        jnp.ones((1, 8, 10), bool), jnp.ones((1, 8), bool),
+    )
+    srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4,
+                       lazy=True)
+    # the recurrent state / conv ring / window buffer leaves are bf16 —
+    # nothing in the container silently upcast to f32 (cbuf/cc gate
+    # cumsums stay deliberately f32)
+    for st in srv._state.layers:
+        assert st.s.dtype == jnp.bfloat16
+        assert st.kbuf.dtype == jnp.bfloat16
+        assert st.vbuf.dtype == jnp.bfloat16
+        for ring in (st.conv_q, st.conv_k, st.conv_v, st.conv_h):
+            assert ring is None or ring.dtype == jnp.bfloat16
+    texts = [np.asarray([5, 9, 3, 17, 8]), np.asarray([12, 4, 33, 7])]
+    max_len = 12
+    rids = [srv.submit(t, max_len=max_len) for t in texts]
+    done = {c.rid: c for c in srv.run()}
+    for rid, text in zip(rids, texts):
+        ref = generate_batch(
+            model, params, jnp.asarray(text)[None], jax.random.PRNGKey(9),
+            max_seqlen=max_len, k=1, force_max_seqlen=True, lazy_window=4,
+        )
+        ref_toks = np.asarray(ref.tokens)[:, 0, :].T
+        c = done[rid]
+        np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
+
+
 def test_server_lazy_requires_state_quant_with_lazy():
     cfg, model, params = _setup()
     with pytest.raises(ValueError, match="state_quant requires lazy"):
