@@ -172,8 +172,9 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
     def _():
         state[:] = s0_ref[0].astype(jnp.float32)
 
-    # chunk-start state, saved as a backward residual
-    cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
+    if cs_ref is not None:
+        # chunk-start state, saved as a backward residual
+        cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
 
     cdt = q_ref.dtype  # matmul operand dtype (model dtype; f32 in tests)
     o, new_state = _fwd_math(
@@ -189,7 +190,21 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, cs_ref, state,
 
     @pl.when(c == nc - 1)
     def _():
-        sf_ref[0] = state[:]
+        # round-to-nearest-even cast in-kernel == the XLA f32->bf16 cast
+        # the callers used to do outside; f32 sf is byte-identical
+        sf_ref[0] = state[:].astype(sf_ref.dtype)
+
+
+def _kernel_infer(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, state,
+                  *, chunk_size: int, scale: float, out_dtype):
+    """Forward-only variant: no chunk-state residual output.
+
+    The custom-call residual buffer cannot be DCE'd by XLA even when the
+    caller discards it; at generate-prefill scale (b*h rows in the
+    hundreds) that is hundreds of MB of dead HBM per layer — measured as
+    the b384 OOM driver (BASELINE.md round 5)."""
+    _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sf_ref, None, state,
+            chunk_size=chunk_size, scale=scale, out_dtype=out_dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, cs_ref, do_ref, dsf_ref,
@@ -348,7 +363,8 @@ def _pad_inputs(q, k, v, gk, chunk_size):
 
 
 def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-              residual_dtype=jnp.bfloat16):
+              residual_dtype=jnp.bfloat16, sf_dtype=jnp.float32,
+              save_residuals=True):
     b, h, t, dk = q.shape
     dv = v.shape[-1]
     C = chunk_size
@@ -359,12 +375,47 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
 
     rs = lambda x, d: x.reshape(bh, T, d)
     q2, k2, v2, g2 = rs(q, dk), rs(k, dk), rs(v, dv), rs(gk, dk)
-    s0 = initial_state.reshape(bh, dk, dv).astype(jnp.float32)
+    s0 = initial_state.reshape(bh, dk, dv)
+    if save_residuals:
+        # the backward reads chunk-start states as f32; keep the operand
+        # cast here (one fused convert) rather than per-chunk in-kernel
+        s0 = s0.astype(jnp.float32)
 
-    kern = functools.partial(
-        _kernel, chunk_size=C, scale=scale, out_dtype=q.dtype
-    )
-    o, sf, chunk_states = pl.pallas_call(
+    if save_residuals:
+        kern = functools.partial(
+            _kernel, chunk_size=C, scale=scale, out_dtype=q.dtype
+        )
+        out_specs = [
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, dk, dv), lambda i, c: (i, c, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bh, T, dv), q.dtype),
+            jax.ShapeDtypeStruct((bh, dk, dv), sf_dtype),
+            # chunk-start states: backward residual; bf16 storage halves
+            # the residual footprint (~0.3% relative grad error);
+            # residual_dtype=float32 gives exact grads
+            jax.ShapeDtypeStruct((bh, nc, dk, dv), residual_dtype),
+        ]
+    else:
+        # inference (custom_vjp primal): the residual buffer is a pallas
+        # OUTPUT, so XLA cannot DCE it even though the caller discards
+        # it — at generate-prefill scale that is hundreds of MB of dead
+        # HBM per layer (the b384 OOM driver, BASELINE.md round 5)
+        kern = functools.partial(
+            _kernel_infer, chunk_size=C, scale=scale, out_dtype=q.dtype
+        )
+        out_specs = [
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bh, T, dv), q.dtype),
+            jax.ShapeDtypeStruct((bh, dk, dv), sf_dtype),
+        ]
+
+    outs = pl.pallas_call(
         kern,
         grid=(bh, nc),
         in_specs=[
@@ -374,19 +425,8 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
             pl.BlockSpec((1, C, dk), lambda i, c: (i, c, 0)),
             pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
-            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, dk, dv), lambda i, c: (i, c, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, T, dv), q.dtype),
-            jax.ShapeDtypeStruct((bh, dk, dv), jnp.float32),
-            # chunk-start states: backward residual; bf16 storage halves
-            # the residual footprint (~0.3% relative grad error);
-            # residual_dtype=float32 gives exact grads
-            jax.ShapeDtypeStruct((bh, nc, dk, dv), residual_dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((dk, dv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -394,9 +434,11 @@ def _fwd_impl(q, k, v, gk, initial_state, scale, chunk_size, interpret,
         interpret=interpret,
     )(q2, k2, v2, g2, s0)
 
-    o = o.reshape(b, h, T, dv)[:, :, :t]
-    return (o, sf.reshape(b, h, dk, dv),
-            chunk_states.reshape(b, h, nc, dk, dv))
+    o = outs[0].reshape(b, h, T, dv)[:, :, :t]
+    sf = outs[1].reshape(b, h, dk, dv)
+    if not save_residuals:
+        return o, sf
+    return o, sf, outs[2].reshape(b, h, nc, dk, dv)
 
 
 def _bwd_impl(q, k, v, gk, chunk_states, do, dsf, scale, chunk_size, interpret):
@@ -500,13 +542,13 @@ def _bh_axes(arg_info, mesh):
 
 @functools.lru_cache(maxsize=None)
 def _fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
-                     partitioned=True):
+                     partitioned=True, sf_dtype=jnp.float32):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(q, k, v, gk, s0):
         return _fwd_impl(q, k, v, gk, s0, scale, chunk_size, interpret,
-                         residual_dtype)
+                         residual_dtype, sf_dtype)
 
     if not partitioned:
         # raw kernel for fully-manual shard_map contexts (ops/gla_cp.py):
@@ -537,6 +579,46 @@ def _fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
         sharding_rule="b h t k, b h t k, b h t v, b h t k, b h k v "
                       "-> b h t v, b h k v, b h c k v",
         need_replication_factors=("t", "k", "v", "c"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_infer_partitioned(scale, chunk_size, interpret, sf_dtype,
+                           partitioned=True):
+    """Inference-only forward: no chunk-state residual output, ``sf``
+    emitted in ``sf_dtype`` in-kernel (no f32 sf temp + outside cast)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(q, k, v, gk, s0):
+        return _fwd_impl(q, k, v, gk, s0, scale, chunk_size, interpret,
+                         sf_dtype=sf_dtype, save_residuals=False)
+
+    if not partitioned:
+        return fn
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, ha, None, None), mk(ba, ha, None, None))
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = (mk(ba, ha, None, None),) * 5
+        outs = (mk(ba, ha, None, None), mk(ba, ha, None, None))
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h t k, b h t k, b h t v, b h t k, b h k v "
+                      "-> b h t v, b h k v",
+        need_replication_factors=("t", "k", "v"),
     )
     return cp
 
@@ -581,24 +663,26 @@ def _bwd_partitioned(scale, chunk_size, interpret, partitioned=True):
     return cp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-                      residual_dtype, partitioned=True):
-    o, sf, _ = _fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
-                                partitioned)(q, k, v, gk, initial_state)
+                      residual_dtype, partitioned=True, sf_dtype=jnp.float32):
+    # primal == inference: the residual-free kernel (a custom-call output
+    # buffer cannot be DCE'd — prefill-scale HBM waste otherwise)
+    o, sf = _fwd_infer_partitioned(scale, chunk_size, interpret, sf_dtype,
+                                   partitioned)(q, k, v, gk, initial_state)
     return o, sf
 
 
 def _vjp_fwd(q, k, v, gk, initial_state, scale, chunk_size, interpret,
-             residual_dtype, partitioned=True):
+             residual_dtype, partitioned=True, sf_dtype=jnp.float32):
     o, sf, chunk_states = _fwd_partitioned(
-        scale, chunk_size, interpret, residual_dtype, partitioned
+        scale, chunk_size, interpret, residual_dtype, partitioned, sf_dtype
     )(q, k, v, gk, initial_state)
     return (o, sf), (q, k, v, gk, chunk_states)
 
 
 def _vjp_bwd(scale, chunk_size, interpret, residual_dtype, partitioned,
-             residuals, cotangents):
+             sf_dtype, residuals, cotangents):
     q, k, v, gk, chunk_states = residuals
     do, dsf = cotangents
     dq, dk, dv, dg, ds0 = _bwd_partitioned(
@@ -644,9 +728,12 @@ def gla_chunk_pallas(
         initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # sf comes back in state_dtype straight from the kernel (in-kernel
+    # round-to-nearest-even == the XLA cast this wrapper used to do)
     o, sf = _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size,
-                              interpret, residual_dtype, partitioned)
-    return o, sf.astype(state_dtype)
+                              interpret, residual_dtype, partitioned,
+                              state_dtype)
+    return o, sf
 
 
 # ------------------------------------------------- conv-fused chunk kernel
@@ -713,7 +800,8 @@ def _conv_fwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, s0_ref, hq_ref, hk_ref,
     def _():
         state[:] = s0_ref[0].astype(jnp.float32)
 
-    cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
+    if cs_ref is not None:
+        cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
 
     cdt = xq_ref.dtype
     row1 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
@@ -738,7 +826,23 @@ def _conv_fwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, s0_ref, hq_ref, hk_ref,
 
     @pl.when(c == nc - 1)
     def _():
-        sf_ref[0] = state[:]
+        # round-to-nearest-even cast in-kernel == the XLA f32->bf16 cast
+        # the callers used to do outside; f32 sf is byte-identical
+        sf_ref[0] = state[:].astype(sf_ref.dtype)
+
+
+def _conv_kernel_infer(xq_ref, xk_ref, xv_ref, g_ref, s0_ref, hq_ref, hk_ref,
+                       hv_ref, wq_ref, wk_ref, wv_ref, o_ref, sf_ref, state,
+                       *, chunk_size: int, scale: float, out_dtype,
+                       conv_size: int, t_valid: int):
+    """Forward-only conv-fused variant: no chunk-state residual output
+    (see :func:`_kernel_infer` — the dead residual buffer was the b384
+    prefill OOM driver, BASELINE.md round 5)."""
+    _conv_fwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, s0_ref, hq_ref, hk_ref,
+                     hv_ref, wq_ref, wk_ref, wv_ref, o_ref, sf_ref, None,
+                     state, chunk_size=chunk_size, scale=scale,
+                     out_dtype=out_dtype, conv_size=conv_size,
+                     t_valid=t_valid)
 
 
 def _conv_bwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, cs_ref, do_ref, dsf_ref,
@@ -831,7 +935,8 @@ def _conv_bwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, cs_ref, do_ref, dsf_ref,
 
 
 def _conv_fwd_impl(xq, xk, xv, gk, s0, wq, wk, wv, scale, chunk_size,
-                   interpret, residual_dtype=jnp.bfloat16, t_valid=None):
+                   interpret, residual_dtype=jnp.bfloat16, t_valid=None,
+                   sf_dtype=jnp.float32, save_residuals=True):
     b, h, t, dk = xq.shape
     dv = xv.shape[-1]
     C = chunk_size
@@ -845,7 +950,9 @@ def _conv_fwd_impl(xq, xk, xv, gk, s0, wq, wk, wv, scale, chunk_size,
 
     rs = lambda x, d: x.reshape(bh, T, d)
     q2, k2, v2, g2 = rs(xq, dk), rs(xk, dk), rs(xv, dv), rs(gk, dk)
-    s0r = s0.reshape(bh, dk, dv).astype(jnp.float32)
+    s0r = s0.reshape(bh, dk, dv)
+    if save_residuals:
+        s0r = s0r.astype(jnp.float32)
     hq, hk, hv = _chunk_halo(q2, C), _chunk_halo(k2, C), _chunk_halo(v2, C)
     # taps (h, dh, W) -> per-(b,h) (bh, W, dh), tap row 0 = oldest
     tb = lambda w, d: jnp.broadcast_to(
@@ -853,11 +960,37 @@ def _conv_fwd_impl(xq, xk, xv, gk, s0, wq, wk, wv, scale, chunk_size,
     ).transpose(0, 2, 1, 3).reshape(bh, W, d)
     wqb, wkb, wvb = tb(wq, dk), tb(wk, dk), tb(wv, dv)
 
-    kern = functools.partial(
-        _conv_fwd_kernel, chunk_size=C, scale=scale, out_dtype=xq.dtype,
-        conv_size=W, t_valid=t_valid,
-    )
-    o, sf, chunk_states = pl.pallas_call(
+    if save_residuals:
+        kern = functools.partial(
+            _conv_fwd_kernel, chunk_size=C, scale=scale, out_dtype=xq.dtype,
+            conv_size=W, t_valid=t_valid,
+        )
+        out_specs = [
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, dk, dv), lambda i, c: (i, c, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bh, T, dv), xq.dtype),
+            jax.ShapeDtypeStruct((bh, dk, dv), sf_dtype),
+            jax.ShapeDtypeStruct((bh, nc, dk, dv), residual_dtype),
+        ]
+    else:
+        # inference: no dead residual buffer (see _fwd_impl)
+        kern = functools.partial(
+            _conv_kernel_infer, chunk_size=C, scale=scale,
+            out_dtype=xq.dtype, conv_size=W, t_valid=t_valid,
+        )
+        out_specs = [
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bh, T, dv), xq.dtype),
+            jax.ShapeDtypeStruct((bh, dk, dv), sf_dtype),
+        ]
+
+    outs = pl.pallas_call(
         kern,
         grid=(bh, nc),
         in_specs=[
@@ -873,16 +1006,8 @@ def _conv_fwd_impl(xq, xk, xv, gk, s0, wq, wk, wv, scale, chunk_size,
             pl.BlockSpec((1, W, dk), lambda i, c: (i, 0, 0)),
             pl.BlockSpec((1, W, dv), lambda i, c: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
-            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, dk, dv), lambda i, c: (i, c, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, T, dv), xq.dtype),
-            jax.ShapeDtypeStruct((bh, dk, dv), jnp.float32),
-            jax.ShapeDtypeStruct((bh, nc, dk, dv), residual_dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((dk, dv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -890,9 +1015,11 @@ def _conv_fwd_impl(xq, xk, xv, gk, s0, wq, wk, wv, scale, chunk_size,
         interpret=interpret,
     )(q2, k2, v2, g2, s0r, hq, hk, hv, wqb, wkb, wvb)
 
-    o = o.reshape(b, h, T, dv)[:, :, :t]
-    return (o, sf.reshape(b, h, dk, dv),
-            chunk_states.reshape(b, h, nc, dk, dv))
+    o = outs[0].reshape(b, h, T, dv)[:, :, :t]
+    sf = outs[1].reshape(b, h, dk, dv)
+    if not save_residuals:
+        return o, sf
+    return o, sf, outs[2].reshape(b, h, nc, dk, dv)
 
 
 def _conv_bwd_impl(xq, xk, xv, gk, wq, wk, wv, chunk_states, do, dsf, scale,
@@ -989,13 +1116,14 @@ def _conv_bwd_impl(xq, xk, xv, gk, wq, wk, wv, chunk_states, do, dsf, scale,
 
 @functools.lru_cache(maxsize=None)
 def _conv_fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
-                          t_valid):
+                          t_valid, sf_dtype=jnp.float32):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(xq, xk, xv, gk, s0, wq, wk, wv):
         return _conv_fwd_impl(xq, xk, xv, gk, s0, wq, wk, wv, scale,
-                              chunk_size, interpret, residual_dtype, t_valid)
+                              chunk_size, interpret, residual_dtype, t_valid,
+                              sf_dtype)
 
     cp = custom_partitioning(fn)
 
@@ -1023,6 +1151,45 @@ def _conv_fwd_partitioned(scale, chunk_size, interpret, residual_dtype,
                       "-> b h t v, b h k v, b h c k v",
         # factor order = first occurrence: t k v w (taps) then c (output)
         need_replication_factors=("t", "k", "v", "w", "c"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_fwd_infer_partitioned(scale, chunk_size, interpret, t_valid,
+                                sf_dtype):
+    """Inference-only conv-fused forward (see _fwd_infer_partitioned)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(xq, xk, xv, gk, s0, wq, wk, wv):
+        return _conv_fwd_impl(xq, xk, xv, gk, s0, wq, wk, wv, scale,
+                              chunk_size, interpret, t_valid=t_valid,
+                              sf_dtype=sf_dtype, save_residuals=False)
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, ha, None, None), mk(ba, ha, None, None))
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = ((mk(ba, ha, None, None),) * 5
+                + (mk(ha, None, None),) * 3)
+        outs = (mk(ba, ha, None, None), mk(ba, ha, None, None))
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h t k, b h t k, b h t v, b h t k, b h k v, "
+                      "h k w, h k w, h v w "
+                      "-> b h t v, b h k v",
+        need_replication_factors=("t", "k", "v", "w"),
     )
     return cp
 
@@ -1068,25 +1235,27 @@ def _conv_bwd_partitioned(scale, chunk_size, interpret, t_valid):
     return cp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _gla_chunk_conv_pallas(xq, xk, xv, gk, wq, wk, wv, s0, scale, chunk_size,
-                           interpret, residual_dtype, t_valid):
-    o, sf, _ = _conv_fwd_partitioned(
-        scale, chunk_size, interpret, residual_dtype, t_valid
+                           interpret, residual_dtype, t_valid,
+                           sf_dtype=jnp.float32):
+    # primal == inference: residual-free kernel (see _gla_chunk_pallas)
+    o, sf = _conv_fwd_infer_partitioned(
+        scale, chunk_size, interpret, t_valid, sf_dtype
     )(xq, xk, xv, gk, s0, wq, wk, wv)
     return o, sf
 
 
 def _conv_vjp_fwd(xq, xk, xv, gk, wq, wk, wv, s0, scale, chunk_size,
-                  interpret, residual_dtype, t_valid):
+                  interpret, residual_dtype, t_valid, sf_dtype=jnp.float32):
     o, sf, chunk_states = _conv_fwd_partitioned(
-        scale, chunk_size, interpret, residual_dtype, t_valid
+        scale, chunk_size, interpret, residual_dtype, t_valid, sf_dtype
     )(xq, xk, xv, gk, s0, wq, wk, wv)
     return (o, sf), (xq, xk, xv, gk, wq, wk, wv, chunk_states)
 
 
 def _conv_vjp_bwd(scale, chunk_size, interpret, residual_dtype, t_valid,
-                  residuals, cotangents):
+                  sf_dtype, residuals, cotangents):
     xq, xk, xv, gk, wq, wk, wv, chunk_states = residuals
     do, dsf = cotangents
     dxq, dxk, dxv, dg, ds0, dwq_b, dwk_b, dwv_b = _conv_bwd_partitioned(
@@ -1143,11 +1312,14 @@ def gla_chunk_conv_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     hs = lambda w, d: w.reshape(h, d, W)  # (full, W) -> (h, dh, W)
+    # sf comes back in state_dtype straight from the kernel (in-kernel
+    # round-to-nearest-even == the XLA cast this wrapper used to do)
     o, sf = _gla_chunk_conv_pallas(
         xq, xk, xv, gk, hs(conv_q_w, dk), hs(conv_k_w, dk), hs(conv_v_w, dv),
         initial_state, scale, chunk_size, interpret, residual_dtype, t,
+        state_dtype,
     )
-    return o, sf.astype(state_dtype)
+    return o, sf
 
 
 # ---------------------------------------------------------------- decode

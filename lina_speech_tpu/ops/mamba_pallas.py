@@ -46,7 +46,8 @@ def _fwd_kernel(x_ref, dt_ref, b_ref, c_ref, keep_ref, a_ref, d_ref, s0_ref,
     def _():
         state[:] = s0_ref[0].astype(jnp.float32)
 
-    cs_ref[0, 0] = state[:]
+    if cs_ref is not None:
+        cs_ref[0, 0] = state[:]
 
     xb = x_ref[0].astype(jnp.float32)     # (S, d)
     dtb = dt_ref[0].astype(jnp.float32)   # (S, d)
@@ -71,6 +72,15 @@ def _fwd_kernel(x_ref, dt_ref, b_ref, c_ref, keep_ref, a_ref, d_ref, s0_ref,
     @pl.when(c == nc - 1)
     def _():
         sf_ref[0] = state[:]
+
+
+def _fwd_kernel_infer(x_ref, dt_ref, b_ref, c_ref, keep_ref, a_ref, d_ref,
+                      s0_ref, y_ref, sf_ref, state, *, sub: int):
+    """Forward-only variant: no chunk-state residual output (the dead
+    residual buffer cannot be DCE'd by XLA — prefill-scale HBM waste;
+    see ops/gla_pallas.py:_kernel_infer)."""
+    _fwd_kernel(x_ref, dt_ref, b_ref, c_ref, keep_ref, a_ref, d_ref, s0_ref,
+                y_ref, sf_ref, None, state, sub=sub)
 
 
 def _bwd_kernel(x_ref, dt_ref, b_ref, c_ref, keep_ref, a_ref, d_ref, cs_ref,
@@ -154,7 +164,7 @@ def _pad_t(arrs, sub, keep_idx=None):
     return list(arrs)
 
 
-def _fwd_impl(x, dt, B, C, keep, A2, D2, s0, interpret):
+def _fwd_impl(x, dt, B, C, keep, A2, D2, s0, interpret, save_residuals=True):
     """x/dt (b, t, d); B/C (b, t, n); keep (b, t, 1); A2 (n, d); D2 (1, d);
     s0 (b, n, d). Padded rows carry dt=0 (decay 1, zero input) so the
     final state is untouched by padding."""
@@ -165,10 +175,32 @@ def _fwd_impl(x, dt, B, C, keep, A2, D2, s0, interpret):
     T = x.shape[1]
     nc = T // S
 
-    kern = functools.partial(_fwd_kernel, sub=S)
     bt = lambda i, c: (i, c, 0)
     fixed = lambda i, c: (0, 0)
-    y, sf, cs = pl.pallas_call(
+    if save_residuals:
+        kern = functools.partial(_fwd_kernel, sub=S)
+        out_specs = [
+            pl.BlockSpec((1, S, d), bt),
+            pl.BlockSpec((1, n, d), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n, d), lambda i, c: (i, c, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, T, d), x.dtype),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nc, n, d), jnp.float32),
+        ]
+    else:
+        # inference: no dead residual buffer (see _fwd_kernel_infer)
+        kern = functools.partial(_fwd_kernel_infer, sub=S)
+        out_specs = [
+            pl.BlockSpec((1, S, d), bt),
+            pl.BlockSpec((1, n, d), lambda i, c: (i, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, T, d), x.dtype),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+        ]
+    outs = pl.pallas_call(
         kern,
         grid=(b, nc),
         in_specs=[
@@ -181,23 +213,17 @@ def _fwd_impl(x, dt, B, C, keep, A2, D2, s0, interpret):
             pl.BlockSpec((1, d), fixed),
             pl.BlockSpec((1, n, d), lambda i, c: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, S, d), bt),
-            pl.BlockSpec((1, n, d), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, n, d), lambda i, c: (i, c, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, T, d), x.dtype),
-            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, nc, n, d), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(x, dt, B, C, keep, A2, D2, s0)
-    return y[:, :t], sf, cs
+    if not save_residuals:
+        return outs[0][:, :t], outs[1]
+    return outs[0][:, :t], outs[1], outs[2]
 
 
 def _bwd_impl(x, dt, B, C, keep, A2, D2, cs, dy, dsf, interpret):
@@ -324,6 +350,46 @@ def _fwd_partitioned(interpret, partitioned=True):
 
 
 @functools.lru_cache(maxsize=None)
+def _fwd_infer_partitioned(interpret, partitioned=True):
+    """Inference-only forward: no chunk-state residual output
+    (ops/gla_pallas.py twin)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(x, dt, B, C, keep, A2, D2, s0):
+        return _fwd_impl(x, dt, B, C, keep, A2, D2, s0, interpret,
+                         save_residuals=False)
+
+    if not partitioned:
+        return fn
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba = _b_axis(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, None, None), mk(ba, None, None))
+
+    def part(mesh, arg_infos, result_infos):
+        ba = _b_axis(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = ((mk(ba, None, None),) * 5
+                + (mk(None, None), mk(None, None), mk(ba, None, None)))
+        outs = (mk(ba, None, None), mk(ba, None, None))
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b t d, b t d, b t n, b t n, b t u, n d, u d, b n d "
+                      "-> b t d, b n d",
+        need_replication_factors=("t", "d", "n", "u"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
 def _bwd_partitioned(interpret, partitioned=True):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -369,7 +435,9 @@ def _bwd_partitioned(interpret, partitioned=True):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _mamba_scan(x, dt, B, C, keep, A2, D2, s0, interpret, partitioned=True):
-    y, sf, _ = _fwd_partitioned(interpret, partitioned)(
+    # primal == inference: residual-free kernel (prefill-scale HBM waste
+    # otherwise — a custom-call output buffer cannot be DCE'd)
+    y, sf = _fwd_infer_partitioned(interpret, partitioned)(
         x, dt, B, C, keep, A2, D2, s0)
     return y, sf
 

@@ -59,7 +59,8 @@ def _fwd_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, s0_ref,
     def _():
         state[:] = s0_ref[0].astype(jnp.float32)
 
-    cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
+    if cs_ref is not None:
+        cs_ref[0, 0] = state[:].astype(cs_ref.dtype)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
@@ -119,7 +120,18 @@ def _fwd_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, s0_ref,
 
     @pl.when(c == nc - 1)
     def _():
-        sf_ref[0] = state[:]
+        # round-to-nearest-even cast in-kernel == the XLA f32->bf16 cast
+        # the callers used to do outside; f32 sf is byte-identical
+        sf_ref[0] = state[:].astype(sf_ref.dtype)
+
+
+def _fwd_kernel_infer(r_ref, k_ref, v_ref, w_ref, u_ref, s0_ref,
+                      o_ref, sf_ref, state, *, chunk_size: int, out_dtype):
+    """Forward-only variant: no chunk-state residual output (the dead
+    residual buffer cannot be DCE'd by XLA — prefill-scale HBM waste;
+    see ops/gla_pallas.py:_kernel_infer)."""
+    _fwd_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, s0_ref, o_ref, sf_ref,
+                None, state, chunk_size=chunk_size, out_dtype=out_dtype)
 
 
 def _bwd_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, cs_ref, do_ref, dsf_ref,
@@ -252,7 +264,8 @@ def _bwd_kernel(r_ref, k_ref, v_ref, w_ref, u_ref, cs_ref, do_ref, dsf_ref,
 
 # -------------------------------------------------------------------- impl
 def _fwd_impl(r, k, v, w, u, initial_state, chunk_size, interpret,
-              residual_dtype=jnp.bfloat16):
+              residual_dtype=jnp.bfloat16, sf_dtype=jnp.float32,
+              save_residuals=True):
     b, h, t, dk = r.shape
     dv = v.shape[-1]
     C = chunk_size
@@ -265,10 +278,34 @@ def _fwd_impl(r, k, v, w, u, initial_state, chunk_size, interpret,
     r2, k2, v2, w2 = rs(r, dk), rs(k, dk), rs(v, dv), rs(w, dk)
     # u: (h, dk) -> per-(batch*head) row (bh, 1, dk); tiny
     u2 = jnp.tile(u[None], (b, 1, 1)).reshape(bh, 1, dk)
-    s0 = initial_state.reshape(bh, dk, dv).astype(jnp.float32)
+    s0 = initial_state.reshape(bh, dk, dv)
+    if save_residuals:
+        s0 = s0.astype(jnp.float32)
+        kern = functools.partial(_fwd_kernel, chunk_size=C, out_dtype=r.dtype)
+        out_specs = [
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, dk, dv), lambda i, c: (i, c, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bh, T, dv), r.dtype),
+            jax.ShapeDtypeStruct((bh, dk, dv), sf_dtype),
+            jax.ShapeDtypeStruct((bh, nc, dk, dv), residual_dtype),
+        ]
+    else:
+        # inference: no dead residual buffer (see _fwd_kernel_infer)
+        kern = functools.partial(_fwd_kernel_infer, chunk_size=C,
+                                 out_dtype=r.dtype)
+        out_specs = [
+            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bh, T, dv), r.dtype),
+            jax.ShapeDtypeStruct((bh, dk, dv), sf_dtype),
+        ]
 
-    kern = functools.partial(_fwd_kernel, chunk_size=C, out_dtype=r.dtype)
-    o, sf, chunk_states = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=(bh, nc),
         in_specs=[
@@ -279,16 +316,8 @@ def _fwd_impl(r, k, v, w, u, initial_state, chunk_size, interpret,
             pl.BlockSpec((1, 1, dk), lambda i, c: (i, 0, 0)),
             pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, C, dv), lambda i, c: (i, c, 0)),
-            pl.BlockSpec((1, dk, dv), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, dk, dv), lambda i, c: (i, c, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, T, dv), r.dtype),
-            jax.ShapeDtypeStruct((bh, dk, dv), jnp.float32),
-            jax.ShapeDtypeStruct((bh, nc, dk, dv), residual_dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((dk, dv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -296,9 +325,11 @@ def _fwd_impl(r, k, v, w, u, initial_state, chunk_size, interpret,
         interpret=interpret,
     )(r2, k2, v2, w2, u2, s0)
 
-    o = o.reshape(b, h, T, dv)[:, :, :t]
-    return (o, sf.reshape(b, h, dk, dv),
-            chunk_states.reshape(b, h, nc, dk, dv))
+    o = outs[0].reshape(b, h, T, dv)[:, :, :t]
+    sf = outs[1].reshape(b, h, dk, dv)
+    if not save_residuals:
+        return o, sf
+    return o, sf, outs[2].reshape(b, h, nc, dk, dv)
 
 
 def _bwd_impl(r, k, v, w, u, chunk_states, do, dsf, chunk_size, interpret):
@@ -367,13 +398,13 @@ def _bwd_impl(r, k, v, w, u, chunk_states, do, dsf, chunk_size, interpret):
 # ------------------------------------------------------------ partitioning
 @functools.lru_cache(maxsize=None)
 def _fwd_partitioned(chunk_size, interpret, residual_dtype,
-                     partitioned=True):
+                     partitioned=True, sf_dtype=jnp.float32):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def fn(r, k, v, w, u, s0):
         return _fwd_impl(r, k, v, w, u, s0, chunk_size, interpret,
-                         residual_dtype)
+                         residual_dtype, sf_dtype)
 
     if not partitioned:
         # raw kernel for fully-manual shard_map contexts (ops/gla_cp.py)
@@ -404,6 +435,48 @@ def _fwd_partitioned(chunk_size, interpret, residual_dtype,
         sharding_rule="b h t k, b h t k, b h t v, b h t k, h k, b h k v "
                       "-> b h t v, b h k v, b h c k v",
         need_replication_factors=("t", "k", "v", "c"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_infer_partitioned(chunk_size, interpret, sf_dtype,
+                           partitioned=True):
+    """Inference-only forward: no chunk-state residual output, ``sf``
+    emitted in ``sf_dtype`` in-kernel (ops/gla_pallas.py twin)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(r, k, v, w, u, s0):
+        return _fwd_impl(r, k, v, w, u, s0, chunk_size, interpret,
+                         sf_dtype=sf_dtype, save_residuals=False)
+
+    if not partitioned:
+        return fn
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        return (mk(ba, ha, None, None), mk(ba, ha, None, None))
+
+    def part(mesh, arg_infos, result_infos):
+        ba, ha = _bh_axes(arg_infos[0], mesh)
+        mk = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = ((mk(ba, ha, None, None),) * 4
+                + (mk(ha, None),)
+                + (mk(ba, ha, None, None),))
+        outs = (mk(ba, ha, None, None), mk(ba, ha, None, None))
+        return mesh, fn, outs, args
+
+    cp.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        decode_shardings=False,
+        sharding_rule="b h t k, b h t k, b h t v, b h t k, h k, b h k v "
+                      "-> b h t v, b h k v",
+        need_replication_factors=("t", "k", "v"),
     )
     return cp
 
@@ -452,24 +525,27 @@ def _bwd_partitioned(chunk_size, interpret, partitioned=True):
 
 
 # ------------------------------------------------------------- custom VJP
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _rwkv6_chunk_pallas(r, k, v, w, u, initial_state, chunk_size, interpret,
-                        residual_dtype, partitioned=True):
-    o, sf, _ = _fwd_partitioned(chunk_size, interpret, residual_dtype,
-                                partitioned)(r, k, v, w, u, initial_state)
+                        residual_dtype, partitioned=True,
+                        sf_dtype=jnp.float32):
+    # primal == inference: residual-free kernel (prefill-scale HBM waste
+    # otherwise — a custom-call output buffer cannot be DCE'd)
+    o, sf = _fwd_infer_partitioned(chunk_size, interpret, sf_dtype,
+                                   partitioned)(r, k, v, w, u, initial_state)
     return o, sf
 
 
 def _vjp_fwd(r, k, v, w, u, initial_state, chunk_size, interpret,
-             residual_dtype, partitioned=True):
+             residual_dtype, partitioned=True, sf_dtype=jnp.float32):
     o, sf, chunk_states = _fwd_partitioned(
-        chunk_size, interpret, residual_dtype, partitioned
+        chunk_size, interpret, residual_dtype, partitioned, sf_dtype
     )(r, k, v, w, u, initial_state)
     return (o, sf), (r, k, v, w, u, chunk_states)
 
 
-def _vjp_bwd(chunk_size, interpret, residual_dtype, partitioned, residuals,
-             cotangents):
+def _vjp_bwd(chunk_size, interpret, residual_dtype, partitioned, sf_dtype,
+             residuals, cotangents):
     r, k, v, w, u, chunk_states = residuals
     do, dsf = cotangents
     dr, dk, dv, dw, du_b, ds0 = _bwd_partitioned(
@@ -512,6 +588,9 @@ def rwkv6_chunk_pallas(
         initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # sf comes back in state_dtype straight from the kernel (in-kernel
+    # round-to-nearest-even == the XLA cast this wrapper used to do)
     o, sf = _rwkv6_chunk_pallas(r, k, v, w, u, initial_state, chunk_size,
-                                interpret, residual_dtype, partitioned)
-    return o, sf.astype(state_dtype)
+                                interpret, residual_dtype, partitioned,
+                                state_dtype)
+    return o, sf
