@@ -668,3 +668,47 @@ def test_state_quant_requires_lazy():
     with pytest.raises(ValueError, match="state_quant"):
         generate_batch(model, {}, x, jax.random.PRNGKey(0),
                        state_quant="int8")
+
+
+def test_inference_forward_allocates_no_residuals():
+    """The custom_vjp PRIMAL (inference path) must not allocate the
+    chunk-state backward-residual buffer: it is a pallas OUTPUT, so XLA
+    cannot DCE it, and at generate-prefill scale the dead buffer was the
+    b384 compile-OOM driver (BASELINE.md round 5). Also checks sf comes
+    back in the initial state's dtype straight from the kernel."""
+    q, k, v, gk = make_inputs(jax.random.PRNGKey(3), t=64, dk=32, dv=64)
+    b, h, t, dk = q.shape
+    dv = v.shape[-1]
+    s0 = jnp.zeros((b, h, dk, dv), jnp.bfloat16)
+    C = 16
+    nc = t // C
+
+    def run(q, k, v, gk, s0):
+        return gla_chunk_pallas(q, k, v, gk, initial_state=s0,
+                                chunk_size=C, interpret=True)
+
+    o, sf = run(q, k, v, gk, s0)
+    assert sf.dtype == jnp.bfloat16
+
+    residual_shape = (b * h, nc, dk, dv)
+
+    def residual_vars(jaxpr):
+        out = [v2 for eqn in jaxpr.eqns for v2 in eqn.outvars
+               if getattr(v2.aval, "shape", None) == residual_shape]
+        for eqn in jaxpr.eqns:
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                out += residual_vars(sub)
+        return out
+
+    jaxpr = jax.make_jaxpr(run)(q, k, v, gk, s0)
+    leaked = residual_vars(jaxpr.jaxpr)
+    assert not leaked, f"inference forward allocates residuals: {leaked}"
+
+    # the differentiable path still produces them (training residuals)
+    def loss(q):
+        o, sf = run(q, k, v, gk, s0.astype(jnp.float32))
+        return o.astype(jnp.float32).sum()
+
+    jaxpr_g = jax.make_jaxpr(jax.grad(loss))(q)
+    assert residual_vars(jaxpr_g.jaxpr), \
+        "training forward lost its residual outputs"
