@@ -23,6 +23,7 @@ per-row stop-token trimming host-side (modeling_lina.py:181-192).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -229,6 +230,27 @@ def generate_batch(
     elif cfg:
         init_state = _tile_state(model, init_state, b)
 
+    # int8/int4 state_quant: have the PREFILL KERNELS *emit* their final
+    # states in f32 and cast to the state dtype outside the kernel —
+    # in-kernel bf16 emission costs ~13% end-to-end on the int8-state
+    # decode (b64 190 vs 218 x-realtime, A/B'd 3x on v5e; an XLA
+    # layout/fusion artifact of the fused generate program — the
+    # post-cast bf16 value the quantize reads is identical either way,
+    # and downstream copies / optimization_barrier round-trips do NOT
+    # recover it). XLA schedules the casts at end of prefill, so all
+    # layers' f32 emissions stay live at once: gate by the estimated
+    # live set — flagship b256 = 12.8 GB fits a 16 GB v5e, b384 =
+    # 19.2 GB OOMs (measured); big batches keep in-kernel bf16 emission.
+    from lina_speech_tpu.models.gla_layer import GLAState
+
+    sf_emit_dtype = None
+    if state_quant is not None and all(
+            isinstance(lyr, GLAState) for lyr in init_state.layers):
+        sf_gb = 4e-9 * sum(lyr.s.size for lyr in init_state.layers)
+        budget = float(os.environ.get("LINA_SF32_BUDGET_GB", "14"))
+        if sf_gb <= budget:
+            sf_emit_dtype = jnp.float32
+
     # ---- chunk-parallel prompt prefill ----
     if prompt is not None:
         p_len = prompt.shape[-1]
@@ -243,7 +265,7 @@ def generate_batch(
 
     logits_pre, att_pre, state = model.apply(
         params, tile(forced), x_enc, init_state, return_att=return_att,
-        method=LinaModel.prefill,
+        sf_emit_dtype=sf_emit_dtype, method=LinaModel.prefill,
     )  # logits_pre: (b, p+1, q, l) — (2b, ...) under CFG
     logits_pre = guide(logits_pre)
     if return_att and cfg:

@@ -178,6 +178,7 @@ class EncoderCrossDecoder(nn.Module):
         conv_history: bool = False,
         time_offset: int | Array = 0,
         crossatt_pos_valid: Optional[Array] = None,
+        sf_emit_dtype=None,
     ):
         """x: (b, t, d) audio-embedding stream; ctx: (b, m, d) text encoding.
 
@@ -191,13 +192,20 @@ class EncoderCrossDecoder(nn.Module):
         if init_state is None and use_state:
             init_state = self.empty_state(x.shape[0])
         hist_kw = {"conv_history": True} if conv_history else {}
+        # final-state EMISSION dtype override for the mixers' chunk
+        # kernels (GLA-family only — the int8/int4 state_quant prefill;
+        # see GatedLinearAttention.__call__). Not forwarded to cross_att
+        # (its pos-net state is tiny; signature stays family-generic).
+        blk_kw = dict(hist_kw)
+        if sf_emit_dtype is not None:
+            blk_kw["sf_emit_dtype"] = sf_emit_dtype
 
         def run_block(block, x, layer_state):
             if use_state:
                 return block(
                     x, reset_mask=reset_mask, initial_state=layer_state,
                     output_final_state=True, deterministic=deterministic,
-                    **hist_kw,
+                    **blk_kw,
                 )
             if self.remat and deterministic is False:
                 fn = nn.remat(lambda m, a, rm: m(a, reset_mask=rm, deterministic=False))
@@ -403,13 +411,17 @@ class InterleavedCrossAtt(nn.Module):
                  output_final_state: bool = False, deterministic: bool = True,
                  forced_attention=None, attention_only: bool = False,
                  conv_history: bool = False, time_offset: int | Array = 0,
-                 crossatt_pos_valid=None):
+                 crossatt_pos_valid=None, sf_emit_dtype=None):
         # crossatt_pos_valid accepted for signature parity; the interleaved
         # variants use plain CrossAttention (no positional values to mask)
         use_state = init_state is not None or output_final_state
         if init_state is None and use_state:
             init_state = self.empty_state(x.shape[0])
         hist_kw = {"conv_history": True} if conv_history else {}
+        if sf_emit_dtype is not None:
+            # mixer final-state EMISSION dtype override (state_quant
+            # prefill; GatedLinearAttention.__call__) — blocks only
+            hist_kw["sf_emit_dtype"] = sf_emit_dtype
         idx = {k: i for i, k in enumerate(self.cross_att_layers)}
         atts = []
         final_layers = []

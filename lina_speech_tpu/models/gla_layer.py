@@ -75,6 +75,14 @@ def gla_add_lazy_buffers(state: GLAState, window: int,
     if state_quant == "int8":
         from lina_speech_tpu.ops.gla import quantize_state_rows
 
+        # NB the PREFILL KERNELS must EMIT their final state in f32 and
+        # cast to the state dtype outside the kernel (generate_batch
+        # threads sf_emit_dtype=f32 when the live set fits): in-kernel
+        # bf16 emission costs ~13% end-to-end here (190 vs 218
+        # x-realtime at b64, A/B'd on v5e — XLA layout/fusion artifact;
+        # the bf16 value this quantize reads is identical either way).
+        # Downstream repair does NOT recover it (copy 190.06,
+        # optimization_barrier f32 round-trip 188.46 — both measured).
         s_q, sc = quantize_state_rows(state.s)
         state = state.replace(s=s_q, s_scale=sc)
     elif state_quant == "int4":
@@ -442,6 +450,7 @@ class GatedLinearAttention(nn.Module):
         reset_val: float = -20.0,
         output_final_state: bool = False,
         conv_history: bool = False,
+        sf_emit_dtype: Optional[Any] = None,
     ):
         """x: (b, t, d) -> (b, t, d) [, GLAState if output_final_state].
 
@@ -452,6 +461,17 @@ class GatedLinearAttention(nn.Module):
         history of this chunk — exact mid-stream continuation (bucketed
         serving prefill runs a prompt as a few power-of-two chunks instead
         of one program per length).
+
+        ``sf_emit_dtype`` overrides the dtype the Pallas kernels STORE the
+        final state in (the returned state keeps the state dtype — the
+        cast happens outside the kernel). generate_batch forces f32
+        emission for the int8/int4 state_quant prefill: in-kernel bf16
+        emission costs ~13% end-to-end on the b64 int8-state decode (190
+        vs 218 x-realtime, A/B'd on v5e — an XLA layout/fusion artifact;
+        numerics are identical either way). The f32 emissions stay live
+        until end-of-prefill, so the caller budget-gates it by batch.
+        XLA kernel paths already compute f32 and cast at the end, so the
+        knob is a no-op there.
         """
         if mode == "auto":
             mode = self.kernel_mode
@@ -577,6 +597,7 @@ class GatedLinearAttention(nn.Module):
                 initial_state=s0,
                 # kernel contract: power of two (round 192 -> 256 etc.)
                 chunk_size=_pow2_chunk(self.chunk_size),
+                sf_emit_dtype=sf_emit_dtype,
             )
         elif mode == "chunk_pallas":
             from lina_speech_tpu.ops.gla_cp import _pow2_chunk
@@ -587,6 +608,7 @@ class GatedLinearAttention(nn.Module):
                 # dyadic-intra kernel: full-row MXU matmuls at C=128;
                 # power-of-two contract (round 192 -> 256 etc.)
                 chunk_size=_pow2_chunk(self.chunk_size),
+                sf_emit_dtype=sf_emit_dtype,
             )
         elif mode == "chunk_parallel":
             from lina_speech_tpu.ops.gla import gla_chunk_parallel

@@ -195,6 +195,7 @@ class LinaModel(nn.Module):
         conv_history: bool = False,
         time_offset: int | Array = 0,
         crossatt_pos_valid: Optional[Array] = None,
+        sf_emit_dtype=None,
     ):
         """Chunk-parallel prefill of (b, t, d) forced embeddings.
 
@@ -213,6 +214,10 @@ class LinaModel(nn.Module):
             kw["time_offset"] = time_offset
         if crossatt_pos_valid is not None:
             kw["crossatt_pos_valid"] = crossatt_pos_valid
+        if sf_emit_dtype is not None:
+            # kernel final-state EMISSION dtype (int8/int4 state_quant
+            # prefill — generate_batch budget-gates f32 by batch)
+            kw["sf_emit_dtype"] = sf_emit_dtype
         y_hat, att, final_state = self.attentive_rnn(
             y_embd, x_enc, mask=crossatt_mask, init_state=state,
             crossatt_pos=crossatt_pos,

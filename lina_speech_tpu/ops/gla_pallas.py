@@ -707,6 +707,7 @@ def gla_chunk_pallas(
     interpret: Optional[bool] = None,
     residual_dtype=jnp.bfloat16,
     partitioned: bool = True,
+    sf_emit_dtype=None,
 ) -> Tuple[Array, Array]:
     """Drop-in for :func:`lina_speech_tpu.ops.gla.gla_chunk`: Pallas forward
     AND handwritten Pallas backward (chunk-start states saved as residuals;
@@ -724,15 +725,27 @@ def gla_chunk_pallas(
     if scale is None:
         scale = dk ** -0.5
     state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
+    # sf_emit_dtype overrides the dtype the KERNEL STORES the final state
+    # in; the returned sf is always state_dtype (cast outside the kernel).
+    # generate_batch forces f32 emission for the int8/int4 state_quant
+    # prefill: in-kernel bf16 sf emission costs ~13% END-TO-END on the b64
+    # int8-state decode (190 vs 218 x-realtime, A/B'd 3x on v5e — an XLA
+    # layout/fusion artifact of the fused generate program; the quantize
+    # input is the same bf16 value either way, and downstream copies /
+    # optimization_barrier round-trips do NOT recover it). The f32
+    # emissions stay live until their casts (XLA schedules the casts at
+    # end of prefill), so the caller budget-gates by batch (b384 f32 sf =
+    # 19 GB -> OOM; in-kernel bf16 emission is exactly the fix for that).
+    emit_dtype = state_dtype if sf_emit_dtype is None else sf_emit_dtype
     if initial_state is None:
         initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    # sf comes back in state_dtype straight from the kernel (in-kernel
-    # round-to-nearest-even == the XLA cast this wrapper used to do)
     o, sf = _gla_chunk_pallas(q, k, v, gk, initial_state, scale, chunk_size,
                               interpret, residual_dtype, partitioned,
-                              state_dtype)
+                              emit_dtype)
+    if sf.dtype != state_dtype:
+        sf = sf.astype(state_dtype)
     return o, sf
 
 
@@ -1286,6 +1299,7 @@ def gla_chunk_conv_pallas(
     chunk_size: int = 128,
     interpret: Optional[bool] = None,
     residual_dtype=jnp.bfloat16,
+    sf_emit_dtype=None,
 ) -> Tuple[Array, Array]:
     """Chunked GLA with the q/k/v short-convs fused into the kernel.
 
@@ -1307,18 +1321,21 @@ def gla_chunk_conv_pallas(
     if scale is None:
         scale = dk ** -0.5
     state_dtype = jnp.float32 if initial_state is None else initial_state.dtype
+    # see gla_chunk_pallas: f32 EMISSION + outside cast is the measured-fast
+    # int8-state prefill recipe; sf always returns in state_dtype
+    emit_dtype = state_dtype if sf_emit_dtype is None else sf_emit_dtype
     if initial_state is None:
         initial_state = jnp.zeros((b, h, dk, dv), jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     hs = lambda w, d: w.reshape(h, d, W)  # (full, W) -> (h, dh, W)
-    # sf comes back in state_dtype straight from the kernel (in-kernel
-    # round-to-nearest-even == the XLA cast this wrapper used to do)
     o, sf = _gla_chunk_conv_pallas(
         xq, xk, xv, gk, hs(conv_q_w, dk), hs(conv_k_w, dk), hs(conv_v_w, dv),
         initial_state, scale, chunk_size, interpret, residual_dtype, t,
-        state_dtype,
+        emit_dtype,
     )
+    if sf.dtype != state_dtype:
+        sf = sf.astype(state_dtype)
     return o, sf
 
 

@@ -159,6 +159,19 @@ class DecodeServer:
         if state_quant is not None and not lazy:
             raise ValueError("state_quant requires lazy=True (it rides the "
                              "lazy base-state layout)")
+        # Mirror generate_batch's state_quant prefill policy: the prefill
+        # kernels EMIT their final states in f32 and cast to the state
+        # dtype outside the kernel (in-kernel bf16 emission measured ~13%
+        # slower end-to-end — see generate.py; numerics identical, so the
+        # server==generate_batch exactness contract holds either way).
+        # Server prefill batches are per-request (tiny), so no live-set
+        # budget gate is needed here (generate_batch gates by batch).
+        from lina_speech_tpu.models.gla_layer import GLAState
+
+        _st0 = jax.eval_shape(lambda: model.empty_state(1))
+        self._sf_emit_dtype = (
+            jnp.float32 if state_quant is not None
+            and all(isinstance(l, GLAState) for l in _st0.layers) else None)
         # Classifier-free guidance (generate.py cfg_coef, same math): the
         # device batch doubles — rows [0:B] conditional, [B:2B] the same
         # slots against the all-mask text; every step samples from
@@ -251,6 +264,7 @@ class DecodeServer:
         def _prefill_state_tmpl(p, emb, xe, msk):
             _, _, st = model.apply(p, emb, xe, model.empty_state(1),
                                    crossatt_mask=msk,
+                                   sf_emit_dtype=self._sf_emit_dtype,
                                    method=LinaModel.prefill)
             return _with_buffers(st)
 
@@ -340,7 +354,7 @@ class DecodeServer:
         logits, _, state = model.apply(
             params, emb, x_enc, state, crossatt_mask=pf_mask,
             conv_history=conv_history, time_offset=time_offset,
-            crossatt_pos_valid=pv,
+            crossatt_pos_valid=pv, sf_emit_dtype=self._sf_emit_dtype,
             method=LinaModel.prefill,
         )  # (g, c, q, l)
         logits = self._guide(logits)  # (1, c, q, l)

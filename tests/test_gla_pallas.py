@@ -631,6 +631,34 @@ def test_generate_int8_state_tracks_fp():
     assert agreement > 0.7, f"greedy agreement {agreement:.2f}"
 
 
+def test_generate_int8_state_bf16_sf_budget_gate(monkeypatch):
+    """With LINA_SF32_BUDGET_GB=0 the f32 final-state EMISSION override
+    is gated OFF (the big-batch path: flagship b384 f32 emissions = 19 GB
+    OOM on a 16 GB v5e) — the kernels store bf16 sf in-kernel and decode
+    must still track the full-precision run."""
+    from lina_speech_tpu.config import build_model, lina_gla_tiny
+    from lina_speech_tpu.generate import generate_batch
+
+    monkeypatch.setenv("LINA_SF32_BUDGET_GB", "0")
+    cfg = lina_gla_tiny()
+    model = build_model(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 3,
+                           cfg.n_txt_vocab)
+    params = model.init(
+        jax.random.PRNGKey(2), x,
+        jax.random.randint(jax.random.PRNGKey(1), (2, 8, cfg.n_quant), 3,
+                           cfg.n_codebook + 3),
+        jnp.ones((2, 10, 10), bool), jnp.ones((2, 8, 10), bool),
+        jnp.ones((2, 8), bool),
+    )
+    kw = dict(max_seqlen=24, k=1, force_max_seqlen=True, lazy_window=4)
+    ref = generate_batch(model, params, x, jax.random.PRNGKey(3), **kw)
+    out = generate_batch(model, params, x, jax.random.PRNGKey(3),
+                         state_quant="int8", **kw)
+    agreement = (np.asarray(out.tokens) == np.asarray(ref.tokens)).mean()
+    assert agreement > 0.7, f"greedy agreement {agreement:.2f}"
+
+
 def test_generate_int8_state_plus_int8_weights_compose():
     """state_quant='int8' + weight_quant='int8' together (bench's
     aggregate_realtime_factor_*_int8state_w8 arm): the two knobs touch

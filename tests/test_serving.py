@@ -164,13 +164,20 @@ def test_server_lazy_matches_generate_lazy(squant):
         np.testing.assert_array_equal(c.tokens, ref_toks[: c.length])
 
 
-def test_server_bf16_lazy_matches_generate_and_keeps_state_bf16():
+@pytest.mark.parametrize("squant", [None, "int8"])
+def test_server_bf16_lazy_matches_generate_and_keeps_state_bf16(squant):
     """bf16 compute/state config: the slot container must take PREFILL's
     leaf dtypes, not empty_state's f32 default — the f32 container both
     doubled decode-state HBM traffic (``_insert`` casts rows to the
     container dtype) and crashed lazy mode (bf16 window buffers vs
     f32-promoted conv projections). Regression for the round-5 serving
-    bench crash (dynamic_update_slice bf16 vs f32)."""
+    bench crash (dynamic_update_slice bf16 vs f32).
+
+    The squant="int8" case additionally pins the sf-emission contract:
+    with bf16 state_dtype both the server and generate_batch quantize the
+    same bf16 sf (f32 kernel emission + outside cast — serving.py
+    _sf_emit_dtype mirrors generate.py's policy), so greedy outputs must
+    still be equal."""
     cfg = lina_gla_tiny()
     cfg = dataclasses.replace(
         cfg, compute_dtype="bfloat16",
@@ -184,12 +191,12 @@ def test_server_bf16_lazy_matches_generate_and_keeps_state_bf16():
         jnp.ones((1, 8, 10), bool), jnp.ones((1, 8), bool),
     )
     srv = DecodeServer(model, params, n_slots=2, max_text_len=12, chunk=4,
-                       lazy=True)
+                       lazy=True, state_quant=squant)
     # the recurrent state / conv ring / window buffer leaves are bf16 —
     # nothing in the container silently upcast to f32 (cbuf/cc gate
-    # cumsums stay deliberately f32)
+    # cumsums stay deliberately f32; int8 squant swaps s for int8 rows)
     for st in srv._state.layers:
-        assert st.s.dtype == jnp.bfloat16
+        assert st.s.dtype == (jnp.int8 if squant else jnp.bfloat16)
         assert st.kbuf.dtype == jnp.bfloat16
         assert st.vbuf.dtype == jnp.bfloat16
         for ring in (st.conv_q, st.conv_k, st.conv_v, st.conv_h):
@@ -202,6 +209,7 @@ def test_server_bf16_lazy_matches_generate_and_keeps_state_bf16():
         ref = generate_batch(
             model, params, jnp.asarray(text)[None], jax.random.PRNGKey(9),
             max_seqlen=max_len, k=1, force_max_seqlen=True, lazy_window=4,
+            state_quant=squant,
         )
         ref_toks = np.asarray(ref.tokens)[:, 0, :].T
         c = done[rid]
